@@ -1,0 +1,64 @@
+"""abcsmc_tpu — a TPU-native ABC-SMC (Approximate Bayesian Computation, Sequential
+Monte Carlo) framework with Partial Least Squares particle filtering.
+
+This is a from-scratch, JAX/XLA/Pallas re-architecture of the capabilities of the
+C++ reference library ``tjhladish/AbcSmc``:
+
+- priors / pseudo / posterior parameters become vectorized distribution modules
+  (:mod:`abcsmc_tpu.models.parameters`),
+- the SMC math (perturbation-kernel-mixture importance weights, PLS-score particle
+  ranking, doubled-variance kernels, truncated-normal proposal sampling) becomes fused
+  XLA/Pallas array programs over the whole particle population in HBM
+  (:mod:`abcsmc_tpu.ops`),
+- the SQLite job queue keeps a byte-compatible schema for durability / multi-process
+  workers / R-visualization parity (:mod:`abcsmc_tpu.storage`), while the hot path is
+  an in-memory columnar run store,
+- GSL RNG becomes counter-based ``jax.random`` with per-particle stored seeds so any
+  individual simulation is replayable,
+- multi-chip scaling is ``jax.sharding.Mesh`` + ``shard_map`` over the particle axis
+  (:mod:`abcsmc_tpu.parallel`), not MPI.
+
+Reference parity targets are cited throughout as ``/root/reference/<file>:<line>``.
+"""
+
+from abcsmc_tpu.config import SmcConfig, ConfigError, parse_config
+from abcsmc_tpu.engine import AbcSmc
+from abcsmc_tpu.models.parameters import (
+    Parameter,
+    GaussianPrior,
+    ContinuousUniformPrior,
+    DiscreteUniformPrior,
+    PseudoParameter,
+    PosteriorParameter,
+    ParameterSet,
+)
+from abcsmc_tpu.models.metrics import Metric
+from abcsmc_tpu.models.simulators import (
+    Simulator,
+    DeviceSimulator,
+    PySimulator,
+    ExecSimulator,
+    SharedLibSimulator,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AbcSmc",
+    "SmcConfig",
+    "ConfigError",
+    "parse_config",
+    "Parameter",
+    "GaussianPrior",
+    "ContinuousUniformPrior",
+    "DiscreteUniformPrior",
+    "PseudoParameter",
+    "PosteriorParameter",
+    "ParameterSet",
+    "Metric",
+    "Simulator",
+    "DeviceSimulator",
+    "PySimulator",
+    "ExecSimulator",
+    "SharedLibSimulator",
+]

@@ -1,0 +1,498 @@
+"""Configuration schema and parsing.
+
+Accepts the reference's JSON configuration files verbatim. Schema (from
+``/root/reference/src/AbcSmc.cpp:337-430`` [parse_config],
+``:54-137`` [parse_iterations], ``:139-154`` [parse_metric],
+``:156-211`` [parse_transform], ``:213-273`` [parse_parameter]):
+
+Top-level keys:
+  ``smc_iterations``               int (fitting mode; default max(len sizes))
+  ``num_samples``                  int or [int]   (scalar-or-array; last value extends)
+  ``predictive_prior_fraction``    float or [float] in (0,1]  (XOR with _size)
+  ``predictive_prior_size``        int or [int]               (XOR with _fraction)
+  ``pls_training_fraction``        float in (0,1), default 0.5
+  ``noise``                        "INDEPENDENT" (default) | "MULTIVARIATE"
+  ``parameters``                   [ {name, short_name?, dist_type, num_type,
+                                      par1?, par2?, step?, vals?, untransform?} ]
+  ``metrics``                      [ {name, short_name?, num_type, value} ]
+  ``executable`` | ``shared``      external simulator binding
+  ``database_filename``            run store path
+  ``posterior_database_filename``  source DB for POSTERIOR parameters
+  ``retain_posterior_rank``        bool, default false
+  ``resume_directory``             parsed-but-unused in the reference; kept for parity
+
+Extensions over the reference (all optional, defaulted to reference behavior):
+  ``filter``       "PLS" (default) | "SIMPLE"  — the reference only exposes this via
+                   the C++ API (set_filtering_type, include/AbcSmc/AbcSmc.h:104)
+  ``simulator``    name of a built-in device simulator (e.g. "dice", "sir")
+  ``max_retries``  bound on truncated-sampling rejection loops (default 1000,
+                   matching Priors.h:19-33 MAX_ATTEMPTS)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+from abcsmc_tpu.errors import ConfigError
+
+
+class DistType(str, Enum):
+    UNIFORM = "UNIFORM"
+    NORMAL = "NORMAL"
+    PSEUDO = "PSEUDO"
+    POSTERIOR = "POSTERIOR"
+
+
+class NumType(str, Enum):
+    INT = "INT"
+    FLOAT = "FLOAT"
+
+
+class NoiseType(str, Enum):
+    INDEPENDENT = "INDEPENDENT"
+    MULTIVARIATE = "MULTIVARIATE"
+
+
+class FilterType(str, Enum):
+    PLS = "PLS"
+    SIMPLE = "SIMPLE"
+
+
+class TransformFunc(str, Enum):
+    NONE = "NONE"
+    POW_10 = "POW_10"
+    LOGISTIC = "LOGISTIC"
+
+
+@dataclass(frozen=True)
+class UntransformSpec:
+    """Fitting-space -> model-space transform spec.
+
+    Model-space value x' = rescale(u((x + a) * b) + c) * d) where a/b/c/d are
+    sums/products over *other* parameters' fitting-space values, per
+    ``include/AbcSmc/ParXform.h:11-54``; rescale(v) = (max-min)*v + min
+    (``ParXform.h:64-68``).
+    """
+
+    func: TransformFunc
+    rescale_min: float = 0.0
+    rescale_max: float = 1.0
+    # index lists into the parameter vector (cross-parameter modifiers)
+    transformed_addend_idx: tuple[int, ...] = ()
+    transformed_factor_idx: tuple[int, ...] = ()
+    untransformed_addend_idx: tuple[int, ...] = ()
+    untransformed_factor_idx: tuple[int, ...] = ()
+
+
+@dataclass(frozen=True)
+class ParameterSpec:
+    name: str
+    short_name: str
+    dist_type: DistType
+    num_type: NumType
+    par1: float = 0.0
+    par2: float = 0.0
+    # PSEUDO grid: explicit values (from "vals" or par1..par2 by step)
+    values: tuple[float, ...] = ()
+    # POSTERIOR state size (par2 - par1 + 1)
+    posterior_size: int = 0
+    untransform: UntransformSpec | None = None
+
+    @property
+    def state_size(self) -> int:
+        """Grid size for indexed (PSEUDO/POSTERIOR) parameters; 0 = not indexed."""
+        if self.dist_type == DistType.PSEUDO:
+            return len(self.values)
+        if self.dist_type == DistType.POSTERIOR:
+            return self.posterior_size
+        return 0
+
+    @property
+    def is_posterior(self) -> bool:
+        return self.dist_type == DistType.POSTERIOR
+
+
+@dataclass(frozen=True)
+class MetricSpec:
+    name: str
+    short_name: str
+    num_type: NumType
+    value: float
+
+
+@dataclass
+class SmcConfig:
+    parameters: list[ParameterSpec]
+    metrics: list[MetricSpec]
+    num_smc_sets: int
+    smc_set_sizes: list[int]
+    predictive_prior_sizes: list[int]
+    pls_training_fraction: float = 0.5
+    noise: NoiseType = NoiseType.INDEPENDENT
+    filter: FilterType = FilterType.PLS
+    database_filename: str = ""
+    posterior_database_filename: str = ""
+    executable: str = ""
+    shared: str = ""
+    simulator_name: str = ""
+    retain_posterior_rank: bool = False
+    resume_directory: str = ""
+    max_retries: int = 1000
+    projection_mode: bool = False
+    raw: dict = field(default_factory=dict)
+
+    # --- reference accessors (include/AbcSmc/AbcSmc.h:44-52): scalar-or-array with
+    #     last-value extension semantics ---
+    def smc_size_at(self, set_num: int) -> int:
+        if set_num >= self.num_smc_sets:
+            raise ConfigError(f"set_num {set_num} out of range", code=None)
+        if set_num < len(self.smc_set_sizes):
+            return self.smc_set_sizes[set_num]
+        return self.smc_set_sizes[-1]
+
+    def pred_prior_size_at(self, set_num: int) -> int:
+        if set_num >= self.num_smc_sets:
+            raise ConfigError(f"set_num {set_num} out of range", code=None)
+        if set_num < len(self.predictive_prior_sizes):
+            return self.predictive_prior_sizes[set_num]
+        return self.predictive_prior_sizes[-1]
+
+    @property
+    def npar(self) -> int:
+        return len(self.parameters)
+
+    @property
+    def nmet(self) -> int:
+        return len(self.metrics)
+
+    @property
+    def met_vals(self) -> list[float]:
+        return [m.value for m in self.metrics]
+
+    @property
+    def has_untransforms(self) -> bool:
+        return any(p.untransform is not None for p in self.parameters)
+
+
+def _as_list(val: Any) -> list:
+    """Scalar-or-array JSON semantics (src/AbcSmc.cpp:43-52)."""
+    if isinstance(val, list):
+        return list(val)
+    return [val]
+
+
+def _parse_parameter(mpar: dict) -> ParameterSpec:
+    """Parse one parameter object (src/AbcSmc.cpp:213-273)."""
+    name = mpar["name"]
+    short_name = mpar.get("short_name", name)
+    ptype_str = mpar.get("dist_type", "")
+    ntype_str = mpar.get("num_type", "")
+
+    if ntype_str not in ("INT", "FLOAT"):
+        raise ConfigError(
+            f"Unknown parameter numeric type: {ntype_str}.", code=-206
+        )
+    num_type = NumType(ntype_str)
+
+    if ptype_str == "UNIFORM":
+        return ParameterSpec(
+            name=name, short_name=short_name, dist_type=DistType.UNIFORM,
+            num_type=num_type,
+            par1=float(mpar["par1"]), par2=float(mpar["par2"]),
+        )
+    if ptype_str in ("NORMAL", "GAUSSIAN"):
+        if ntype_str == "INT":
+            raise ConfigError(
+                f"Parameter numeric INT not supported for parameter type {ptype_str}.",
+                code=-206,
+            )
+        return ParameterSpec(
+            name=name, short_name=short_name, dist_type=DistType.NORMAL,
+            num_type=num_type,
+            par1=float(mpar["par1"]), par2=float(mpar["par2"]),
+        )
+    if ptype_str == "PSEUDO":
+        if "vals" in mpar:
+            states = tuple(float(v) for v in _as_list(mpar["vals"]))
+        else:
+            smax = float(mpar["par2"])
+            step = float(mpar.get("step", 1.0))
+            states_l: list[float] = []
+            if step != 0:
+                # inclusive grid with epsilon slack (src/AbcSmc.cpp:252-258)
+                eps = 0.0001
+                s = float(mpar["par1"])
+                while s <= smax + eps * step:
+                    states_l.append(s)
+                    s += step
+            else:
+                states_l.append(float(mpar["par1"]))
+            states = tuple(states_l)
+        return ParameterSpec(
+            name=name, short_name=short_name, dist_type=DistType.PSEUDO,
+            num_type=num_type, values=states,
+        )
+    if ptype_str == "POSTERIOR":
+        size = int(mpar["par2"]) - int(mpar["par1"]) + 1
+        return ParameterSpec(
+            name=name, short_name=short_name, dist_type=DistType.POSTERIOR,
+            num_type=num_type, posterior_size=size,
+        )
+    raise ConfigError(
+        f"Unknown parameter distribution type: {ptype_str}.", code=-205
+    )
+
+
+def _parse_untransform(
+    mparu: Any, par_name_idx: dict[str, int]
+) -> UntransformSpec:
+    """Parse an 'untransform' entry (src/AbcSmc.cpp:156-211)."""
+    if isinstance(mparu, str):
+        if mparu not in ("NONE", "POW_10", "LOGISTIC"):
+            raise ConfigError(
+                f"Unknown parameter transformation type: {mparu}.", code=-206
+            )
+        return UntransformSpec(func=TransformFunc(mparu))
+    if isinstance(mparu, dict):
+        ttype_str = mparu.get("type", "")
+        if ttype_str != "LOGISTIC":
+            raise ConfigError(
+                "Only type: LOGISTIC is currently supported for untransformation "
+                "objects. (NONE and POW_10 supported as untransformation strings.)",
+                code=-207,
+            )
+        idx_lists: dict[str, tuple[int, ...]] = {}
+        for key in (
+            "transformed_addend", "transformed_factor",
+            "untransformed_addend", "untransformed_factor",
+        ):
+            names = mparu.get(key, [])
+            try:
+                idx_lists[key] = tuple(par_name_idx[n] for n in names)
+            except KeyError as e:
+                raise ConfigError(
+                    f"untransform {key} references unknown parameter {e}", code=-208
+                )
+        return UntransformSpec(
+            func=TransformFunc.LOGISTIC,
+            rescale_min=float(mparu["min"]),
+            rescale_max=float(mparu["max"]),
+            transformed_addend_idx=idx_lists["transformed_addend"],
+            transformed_factor_idx=idx_lists["transformed_factor"],
+            untransformed_addend_idx=idx_lists["untransformed_addend"],
+            untransformed_factor_idx=idx_lists["untransformed_factor"],
+        )
+    raise ConfigError(
+        "Unsupported JSON data type associated with 'untransform' parameter key.",
+        code=-208,
+    )
+
+
+def _parse_metric(mmet: dict) -> MetricSpec:
+    """Parse one metric object (src/AbcSmc.cpp:139-154)."""
+    name = mmet["name"]
+    short_name = mmet.get("short_name", name)
+    ntype_str = mmet.get("num_type", "")
+    if ntype_str not in ("INT", "FLOAT"):
+        raise ConfigError(f"Unknown metric numeric type: {ntype_str}.", code=-209)
+    return MetricSpec(
+        name=name,
+        short_name=short_name,
+        num_type=NumType(ntype_str),
+        value=float(mmet.get("value", math.nan)),
+    )
+
+
+def _parse_iterations(
+    par: dict, pseudosize: int
+) -> tuple[int, float, list[int], list[int], bool]:
+    """Iteration / set-size / predictive-prior-size semantics
+    (src/AbcSmc.cpp:54-137).
+
+    Returns (iterations, training_frac, set_sizes, pred_prior_sizes, projection).
+    """
+    if pseudosize != 0:
+        # projection mode: all parameters are PSEUDO/POSTERIOR
+        if int(par.get("smc_iterations", 1)) != 1:
+            raise ConfigError(
+                "Cannot use smc_iterations > 1 with ONLY PSEUDO or POSTERIOR "
+                "parameters.",
+                code=-202,
+            )
+        if "num_samples" in par:
+            checksize = _as_list(par["num_samples"])[0]
+            if int(checksize) != pseudosize:
+                raise ConfigError(
+                    f"`num_samples` ({checksize}) does not match imputed "
+                    f"combinations of PSEUDO and/or POSTERIOR parameters "
+                    f"({pseudosize}).",
+                    code=-201,
+                )
+        return 1, 0.5, [pseudosize], [], True
+
+    # fitting mode
+    has_frac = "predictive_prior_fraction" in par
+    has_size = "predictive_prior_size" in par
+    if has_frac == has_size:
+        raise ConfigError(
+            "exactly one of `predictive_prior_fraction` or "
+            "`predictive_prior_size` must be specified in configuration file.",
+            code=1,
+        )
+
+    training_frac = float(par.get("pls_training_fraction", 0.5))
+    if not (0.0 < training_frac < 1.0):
+        raise ConfigError("pls_training_fraction must be in (0, 1).", code=1)
+
+    set_sizes = [int(v) for v in _as_list(par["num_samples"])]
+
+    if has_frac:
+        ppfs = [float(v) for v in _as_list(par["predictive_prior_fraction"])]
+        if not all(0.0 < f <= 1.0 for f in ppfs):
+            raise ConfigError(
+                "`predictive_prior_fraction`s must be in (0, 1]", code=1
+            )
+        max_set = max(len(ppfs), len(set_sizes))
+        ppfs_ext = ppfs + [ppfs[-1]] * (max_set - len(ppfs))
+        sizes_ext = set_sizes + [set_sizes[-1]] * (max_set - len(set_sizes))
+        # round-half-away-from-zero, matching C round() (src/AbcSmc.cpp:111)
+        pred_prior_sizes = [
+            int(math.floor(f * s + 0.5)) for f, s in zip(ppfs_ext, sizes_ext)
+        ]
+    else:
+        pred_prior_sizes = [int(v) for v in _as_list(par["predictive_prior_size"])]
+        max_set = max(len(pred_prior_sizes), len(set_sizes))
+        for i in range(max_set):
+            pps = pred_prior_sizes[i] if i < len(pred_prior_sizes) else pred_prior_sizes[-1]
+            ss = set_sizes[i] if i < len(set_sizes) else set_sizes[-1]
+            if pps > ss:
+                raise ConfigError(
+                    f"requested predictive prior size > SMC set size at: {i}",
+                    code=1,
+                )
+
+    iterations = int(
+        par.get("smc_iterations", max(len(set_sizes), len(pred_prior_sizes)))
+    )
+    return iterations, training_frac, set_sizes, pred_prior_sizes, False
+
+
+def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
+    """Parse a reference-compatible JSON config file (or pre-loaded dict).
+
+    Mirrors AbcSmc::parse_config (src/AbcSmc.cpp:337-430).
+    """
+    if isinstance(source, dict):
+        par = source
+    else:
+        if not os.path.exists(source):
+            raise ConfigError(f"File does not exist: {source}", code=1)
+        with open(source) as f:
+            try:
+                par = json.load(f)
+            except json.JSONDecodeError as e:
+                raise ConfigError(f"Failed to parse configuration: {e}", code=1)
+
+    retain_posterior_rank = bool(par.get("retain_posterior_rank", False))
+
+    model_par = par.get("parameters", [])
+    par_name_idx: dict[str, int] = {}
+    for i, mpar in enumerate(model_par):
+        nm = mpar["name"]
+        if nm in par_name_idx:
+            raise ConfigError(f"duplicate parameter name: {nm}", code=None)
+        par_name_idx[nm] = i
+
+    parameters: list[ParameterSpec] = []
+    pseudosize = 1
+    posterior_size = 0
+    any_posterior = False
+    any_prior = False
+    for mpar in model_par:
+        spec = _parse_parameter(mpar)
+        if spec.is_posterior:
+            if posterior_size == 0:
+                posterior_size = spec.state_size
+                any_posterior = True
+            elif spec.state_size != posterior_size:
+                raise ConfigError(
+                    "all POSTERIOR parameters must have the same state size",
+                    code=None,
+                )
+        else:
+            if spec.state_size == 0:
+                any_prior = True
+            pseudosize *= max(spec.state_size, 1)
+        if "untransform" in mpar:
+            spec = ParameterSpec(
+                **{
+                    **spec.__dict__,
+                    "untransform": _parse_untransform(
+                        mpar["untransform"], par_name_idx
+                    ),
+                }
+            )
+        parameters.append(spec)
+
+    # pseudosize != 0 <=> all parameters are PSEUDO/POSTERIOR => projection mode
+    # (src/AbcSmc.cpp:354-396: pseudosize is the product of non-posterior state
+    # sizes; a prior parameter contributes state_size 0, zeroing the product)
+    if any_prior:
+        pseudosize = 0
+    if any_posterior and pseudosize != 0:
+        pseudosize *= posterior_size
+
+    metrics = [_parse_metric(m) for m in par.get("metrics", [])]
+
+    (
+        num_smc_sets, training_frac, set_sizes, pred_prior_sizes, projection
+    ) = _parse_iterations(par, pseudosize)
+
+    if any_posterior:
+        if "posterior_database_filename" not in par:
+            raise ConfigError(
+                "Parameter specified as type POSTERIOR, without previously "
+                "specifying a posterior_database_filename.",
+                code=-204,
+            )
+        if num_smc_sets > 1:
+            raise ConfigError(
+                "Cannot use posterior parameters with multiple SMC sets.",
+                code=-203,
+            )
+
+    noise_str = par.get("noise", "INDEPENDENT")
+    if noise_str not in ("INDEPENDENT", "MULTIVARIATE"):
+        raise ConfigError(
+            f"Unknown parameter noise type specified: {noise_str}.", code=-210
+        )
+
+    filter_str = par.get("filter", "PLS")
+    if filter_str not in ("PLS", "SIMPLE"):
+        raise ConfigError(f"Unknown filter type: {filter_str}", code=None)
+
+    return SmcConfig(
+        parameters=parameters,
+        metrics=metrics,
+        num_smc_sets=num_smc_sets,
+        smc_set_sizes=set_sizes,
+        predictive_prior_sizes=pred_prior_sizes,
+        pls_training_fraction=training_frac,
+        noise=NoiseType(noise_str),
+        filter=FilterType(filter_str),
+        database_filename=par.get("database_filename", ""),
+        posterior_database_filename=par.get("posterior_database_filename", ""),
+        executable=par.get("executable", ""),
+        shared=par.get("shared", ""),
+        simulator_name=par.get("simulator", ""),
+        retain_posterior_rank=retain_posterior_rank,
+        resume_directory=par.get("resume_directory", ""),
+        max_retries=int(par.get("max_retries", 1000)),
+        projection_mode=projection,
+        raw=par,
+    )

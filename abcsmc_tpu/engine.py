@@ -1,0 +1,344 @@
+"""The SMC orchestrator.
+
+Mirrors the public surface of class AbcSmc (include/AbcSmc/AbcSmc.h:37-127):
+``parse_config`` -> constructor, ``build_database``, ``process_database``,
+``simulate_next_particles`` (+ by-serial / by-posterior-idx variants), and the
+convenience full-loop ``run``. The SQL-string-building internals of the
+reference dissolve into array ops over a columnar run store; all SMC math runs
+as jitted JAX (sharded over a device mesh when one is provided).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abcsmc_tpu import reports
+from abcsmc_tpu.config import FilterType, NoiseType, SmcConfig, parse_config
+from abcsmc_tpu.errors import SimulatorError, StorageError
+from abcsmc_tpu.models.metrics import Metric, observed_vector
+from abcsmc_tpu.models.parameters import ParameterSet
+from abcsmc_tpu.models.simulators import Simulator, resolve_simulator
+from abcsmc_tpu.models.transforms import ParameterTransform
+from abcsmc_tpu.ops import ranking, resample, stats, weights
+from abcsmc_tpu.storage import MemoryStorage, SQLiteStorage, Storage
+
+
+class AbcSmc:
+    """One ABC-SMC-PLS analysis.
+
+    Parameters
+    ----------
+    config:
+        An :class:`SmcConfig` (or path / dict accepted by :func:`parse_config`).
+    simulator:
+        Optional explicit simulator; otherwise bound from the config
+        (builtin name / shared object / executable), mirroring
+        src/AbcSmc.cpp:402-406.
+    storage:
+        Optional run store; defaults to SQLite at ``config.database_filename``
+        (reference behavior) or an in-memory store when no filename is set.
+    """
+
+    def __init__(
+        self,
+        config: SmcConfig | str | dict,
+        simulator: Simulator | None = None,
+        storage: Storage | None = None,
+    ):
+        if not isinstance(config, SmcConfig):
+            config = parse_config(config)
+        self.config = config
+        self.par_set = ParameterSet.from_specs(config.parameters)
+        self.transform = ParameterTransform(config.parameters)
+        self.metrics = [Metric.from_spec(m) for m in config.metrics]
+        self.obs = observed_vector(self.metrics)
+        self.simulator = resolve_simulator(config, simulator)
+
+        if storage is not None:
+            self.storage = storage
+        elif config.database_filename:
+            self.storage = SQLiteStorage(config.database_filename)
+        else:
+            self.storage = MemoryStorage()
+
+        # POSTERIOR parameters source their values from a previous run's DB
+        # (src/AbcSmc.cpp:385-396)
+        self._posterior_matrix = None
+        if self.par_set.posterior_idx:
+            post_names = [
+                self.par_set.params[i].short_name
+                for i in self.par_set.posterior_idx
+            ]
+            src = SQLiteStorage(config.posterior_database_filename)
+            self._posterior_matrix = src.read_posterior_matrix(post_names)
+            src.close()
+
+        # per-set state, exactly the reference's members (AbcSmc.h:166-174)
+        self._particle_parameters: list[np.ndarray] = []
+        self._particle_metrics: list[np.ndarray] = []
+        self._predictive_prior: list[np.ndarray] = []
+        self._weights: list[np.ndarray] = []
+        self._doubled_variance: list[np.ndarray] = []
+
+    # ------------------------------------------------------------------ utils
+    @property
+    def npar(self) -> int:
+        return self.config.npar
+
+    @property
+    def nmet(self) -> int:
+        return self.config.nmet
+
+    def _key(self, seed: int):
+        return jax.random.PRNGKey(seed & 0xFFFFFFFF)
+
+    def _draw_seeds(self, key, n: int) -> np.ndarray:
+        """Per-particle stored RNG seeds (replayability parity with the seed
+        blob, src/AbcSmc.cpp:535-537)."""
+        return np.asarray(
+            jax.random.randint(key, (n,), 0, np.iinfo(np.int32).max),
+            np.uint64,
+        )
+
+    # ------------------------------------------------------------ build (gen 0)
+    def build_database(self, seed: int = 0, verbose: bool = False) -> bool:
+        """Create the store + enqueue generation 0 if it doesn't exist
+        (src/AbcSmc.cpp:810-874). Returns True if it created it."""
+        if self.storage.exists():
+            return False
+        self.storage.create(
+            self.par_set.short_names(),
+            [m.short_name for m in self.metrics],
+            self.transform.has_any,
+        )
+        key = self._key(seed)
+        k_par, k_seed = jax.random.split(key)
+        n = self.config.smc_size_at(0)
+        samples, post_ranks = self.par_set.sample_priors(
+            k_par, n, self._posterior_matrix
+        )
+        params = np.asarray(samples, np.float64)
+        seeds = self._draw_seeds(k_seed, n)
+        upars = (
+            np.asarray(self.transform.to_model_space(samples), np.float64)
+            if self.transform.has_any else None
+        )
+        ranks = (
+            np.asarray(post_ranks, np.int64)
+            if (self.config.retain_posterior_rank and len(post_ranks)) else None
+        )
+        self.storage.insert_generation(0, params, seeds, upars, ranks)
+        return True
+
+    # ------------------------------------------------------------------ process
+    def process_database(self, seed: int = 0, verbose: bool = False) -> bool:
+        """The SMC brain (src/AbcSmc.cpp:452-559): build if absent; otherwise
+        read complete sets, filter/rank any unfiltered set, compute weights,
+        report, and enqueue the next generation if more sets are needed."""
+        if self.build_database(seed, verbose):
+            return True
+
+        self._particle_parameters.clear()
+        self._particle_metrics.clear()
+        self._weights.clear()
+        self._predictive_prior.clear()
+        self._doubled_variance.clear()
+
+        gens = self._read_smc_sets()
+        if gens is None:
+            return False
+        next_set = len(gens)
+        last_set = next_set - 1
+
+        reports.report_convergence_data(self, last_set)
+        sys.stderr.write("\n\n")
+
+        if self.config.num_smc_sets > next_set:
+            key = self._key(seed)
+            k_noise, k_seed = jax.random.split(key)
+            n = self.config.smc_size_at(next_set)
+            surv = self._predictive_prior[last_set]
+            prev_params = jnp.asarray(self._particle_parameters[last_set][surv])
+            prev_w = jnp.asarray(self._weights[last_set])
+
+            if self.config.noise == NoiseType.MULTIVARIATE:
+                L = resample.setup_mvn_sampler(prev_params)
+                noised = resample.sample_mvn_predictive_priors(
+                    k_noise, n, prev_w, prev_params, self.par_set, L,
+                    self.config.max_retries,
+                )
+                if verbose:
+                    sys.stderr.write(
+                        "Populating next set using MULTIVARIATE noising of "
+                        "parameters.\n"
+                    )
+            else:
+                noised = resample.sample_predictive_priors(
+                    k_noise, n, prev_w, prev_params, self.par_set,
+                    jnp.asarray(self._doubled_variance[last_set]),
+                    self.config.max_retries,
+                )
+                if verbose:
+                    sys.stderr.write(
+                        "Populating next set using INDEPENDENT noising of "
+                        "parameters.\n"
+                    )
+
+            params = np.asarray(noised, np.float64)
+            seeds = self._draw_seeds(k_seed, n)
+            upars = (
+                np.asarray(self.transform.to_model_space(noised), np.float64)
+                if self.transform.has_any else None
+            )
+            self.storage.insert_generation(next_set, params, seeds, upars)
+        else:
+            sys.stderr.write(
+                f"Database already contains {self.config.num_smc_sets} "
+                "complete sets.\n"
+            )
+        return True
+
+    def _read_smc_sets(self):
+        """read_SMC_sets_from_database parity (src/AbcSmc.cpp:562-679)."""
+        gens = self.storage.read_generations()
+        for gen in gens:
+            t = gen.set_num
+            if not gen.complete:
+                sys.stderr.write(
+                    "ERROR: Failed to read SMC set from database because not "
+                    f"all particles are complete in set {t}\n"
+                )
+                return None
+            if gen.size != self.config.smc_size_at(t):
+                raise StorageError(
+                    f"Set {t} in configuration file has size "
+                    f"{self.config.smc_size_at(t)} vs size {gen.size} in "
+                    "database.",
+                    code=1,
+                )
+            self._particle_parameters.append(gen.params)
+            self._particle_metrics.append(gen.metrics)
+
+            if gen.has_posterior:
+                self._predictive_prior.append(gen.predictive_prior_indices())
+            else:
+                order = self._rank_particles(gen.metrics, gen.params)
+                keep = self.config.pred_prior_size_at(t)
+                surv = np.asarray(order)[:keep]
+                self._predictive_prior.append(surv)
+                self.storage.write_posterior_ranks(
+                    gen.serials[surv], np.arange(keep)
+                )
+                reports.filtering_report(
+                    self, t, gen.params[surv], gen.metrics[surv]
+                )
+            self._calculate_predictive_prior_weights(t)
+        return gens
+
+    def _rank_particles(self, mets: np.ndarray, pars: np.ndarray) -> np.ndarray:
+        if self.config.filter == FilterType.PLS:
+            order, _ = ranking.ranking_pls(
+                jnp.asarray(mets), jnp.asarray(pars), jnp.asarray(self.obs),
+                self.config.pls_training_fraction,
+            )
+        else:
+            order, _ = ranking.ranking_simple(
+                jnp.asarray(mets), jnp.asarray(self.obs)
+            )
+        return np.asarray(order)
+
+    def _calculate_predictive_prior_weights(self, set_num: int):
+        """src/AbcSmc.cpp:1041-1066."""
+        assert len(self._doubled_variance) == set_num
+        surv = self._predictive_prior[set_num]
+        pars = self._particle_parameters[set_num][surv]
+        self._doubled_variance.append(
+            np.asarray(stats.doubled_variance(jnp.asarray(pars)))
+        )
+        if set_num == 0:
+            self._weights.append(
+                np.asarray(weights.uniform_weights(len(surv), jnp.float64
+                           if jax.config.jax_enable_x64 else jnp.float32))
+            )
+        else:
+            prev_surv = self._predictive_prior[set_num - 1]
+            prev_pars = self._particle_parameters[set_num - 1][prev_surv]
+            w = weights.weight_predictive_prior(
+                jnp.asarray(pars),
+                jnp.asarray(prev_pars),
+                jnp.asarray(self._weights[set_num - 1]),
+                jnp.asarray(self._doubled_variance[set_num - 1]),
+                self.par_set.prior_log_pdf,
+            )
+            self._weights.append(np.asarray(w))
+
+    # ------------------------------------------------------------------ simulate
+    def simulate_next_particles(
+        self, n: int = 1, serial_req: int = -1, posterior_req: int = -1
+    ) -> bool:
+        """Claim-and-run workers (src/AbcSmc.cpp:967-1039): claim up to n queued
+        or stuck-running jobs (ordered by status then attempts), run the
+        simulator, write back metrics guarded by job status."""
+        assert n == 1 or (serial_req == -1 and posterior_req == -1)
+        assert serial_req == -1 or posterior_req == -1
+        if self.simulator is None:
+            raise SimulatorError(
+                "simulator not set (no executable/shared/builtin binding)",
+                code=-211,
+            )
+        claimed = self.storage.claim_jobs(n, serial_req, posterior_req)
+        if claimed.serials.size == 0:
+            return True
+        start = time.time()
+        mets = self.simulator.run_batch(
+            claimed.params, claimed.seeds, claimed.serials
+        )
+        if mets.shape[1] != self.nmet:
+            # reference exits -211 (src/AbcSmc.cpp:683-687, 1014)
+            raise SimulatorError(
+                "simulator function returned the wrong number of metrics: "
+                f"expected {self.nmet}, received {mets.shape[1]}",
+                code=-211,
+            )
+        dur = time.time() - start
+        nrun = len(claimed.serials)
+        self.storage.write_results(
+            claimed.serials,
+            mets,
+            np.full(nrun, int(start)),
+            np.full(nrun, dur / max(nrun, 1)),
+        )
+        return True
+
+    def simulate_particle_by_serial(self, serial_req: int) -> bool:
+        return self.simulate_next_particles(1, serial_req, -1)
+
+    def simulate_particle_by_posterior_idx(self, posterior_req: int) -> bool:
+        return self.simulate_next_particles(1, -1, posterior_req)
+
+    # ------------------------------------------------------------------ full loop
+    def run(self, seed: int = 0, verbose: bool = False):
+        """The --all loop (examples/include/examples.h:57-94): for each SMC set,
+        process then simulate the whole set; one final process pass extracts the
+        last posterior."""
+        for t in range(self.config.num_smc_sets):
+            self.process_database(seed + t, verbose)
+            self.simulate_next_particles(n=-1)
+        self.process_database(seed + self.config.num_smc_sets, verbose)
+        return self
+
+    # -- results ------------------------------------------------------------------
+    def posterior(self, set_num: int = -1) -> tuple[np.ndarray, np.ndarray]:
+        """(params, weights) of the predictive prior of a set (default last)."""
+        if set_num == -1:
+            set_num = len(self._predictive_prior) - 1
+        surv = self._predictive_prior[set_num]
+        return (
+            self._particle_parameters[set_num][surv],
+            self._weights[set_num],
+        )

@@ -1,0 +1,306 @@
+"""Simulator adapters.
+
+The reference supports three ways to bind a simulator (include/AbcSmc/AbcSim.h):
+a function compiled in (AbcFPtrBase, :61-114), a dlopen'd shared object exporting
+``simulator`` (:96-114), and an external executable exec'd per particle with
+parameters as argv and metrics parsed from stdout (AbcExec, :120-157). All three
+run one particle at a time on the host.
+
+Here the primary path is a fourth kind the reference cannot express: a
+**device simulator** - a pure JAX function ``f(params[P], key) -> metrics[M]``
+that is vmapped/jitted (and mesh-sharded) over the entire particle population on
+TPU. Host-bound simulators (executable / shared library / python callable) are
+retained for black-box legacy models, with the reference's per-particle seed
+replay semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import shlex
+import subprocess
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abcsmc_tpu.errors import SimulatorError
+
+
+class Simulator:
+    """Base adapter: maps (model-space params, per-particle seeds, serials) to a
+    metrics matrix."""
+
+    #: True when run_batch is a traced JAX computation usable inside jit/shard_map
+    is_device = False
+
+    def run_batch(
+        self, params: np.ndarray, seeds: np.ndarray, serials: np.ndarray
+    ) -> np.ndarray:
+        raise NotImplementedError
+
+
+class DeviceSimulator(Simulator):
+    """Vectorized on-device simulator.
+
+    ``fn(params[P], key) -> metrics[M]`` is a pure JAX function; per-particle
+    randomness derives from a counter-based key folded from the stored particle
+    seed, preserving the reference's per-particle replayability
+    (src/AbcSmc.cpp:535-537, 859-860: the seed blob in the par table).
+    """
+
+    is_device = True
+
+    def __init__(self, fn: Callable, nmet: int | None = None):
+        self.fn = fn
+        self.nmet = nmet
+        self._batch = jax.jit(jax.vmap(self._one))
+
+    def _one(self, params, seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        return self.fn(params, key)
+
+    def batch_fn(self, params, seeds):
+        """Traceable batched form for use inside jitted generation steps."""
+        return jax.vmap(self._one)(params, seeds)
+
+    def run_batch(self, params, seeds, serials):
+        mets = self._batch(
+            jnp.asarray(params), jnp.asarray(np.asarray(seeds, np.uint32))
+        )
+        return np.asarray(mets, np.float64)
+
+
+class PySimulator(Simulator):
+    """Host python callable, one particle at a time:
+    ``f(params: list[float], seed: int, serial: int) -> list[float]``."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def run_batch(self, params, seeds, serials):
+        rows = []
+        for row, seed, serial in zip(params, seeds, serials):
+            met = self.fn([float(v) for v in row], int(seed), int(serial))
+            rows.append(np.asarray(met, np.float64))
+        return _stack_checked(rows)
+
+
+class ExecSimulator(Simulator):
+    """External executable: ``cmd p1 p2 ... pP`` per particle; metrics are
+    whitespace-separated doubles on stdout (AbcSim.h:120-157).
+
+    The reference appends parameters to the command line and slurps stdout; the
+    RNG seed is *not* passed (the child is expected to self-seed) - we preserve
+    that, but also export ABC_RNG_SEED / ABC_SERIAL in the environment so
+    deterministic children can opt in."""
+
+    def __init__(self, command: str):
+        self.command = command
+
+    def run_one(self, row: Sequence[float], seed: int, serial: int) -> np.ndarray:
+        args = shlex.split(self.command) + [repr(float(v)) for v in row]
+        import os
+        env = dict(os.environ)
+        env["ABC_RNG_SEED"] = str(int(seed))
+        env["ABC_SERIAL"] = str(int(serial))
+        try:
+            out = subprocess.run(
+                args, capture_output=True, text=True, env=env, check=True
+            ).stdout
+        except (subprocess.CalledProcessError, OSError) as e:
+            raise SimulatorError(f"executable simulator failed: {e}", code=-211)
+        try:
+            return np.array([float(tok) for tok in out.split()], np.float64)
+        except ValueError:
+            raise SimulatorError(
+                f"could not parse metrics from simulator stdout: {out!r}",
+                code=-211,
+            )
+
+    def run_batch(self, params, seeds, serials):
+        rows = [
+            self.run_one(row, seed, serial)
+            for row, seed, serial in zip(params, seeds, serials)
+        ]
+        return _stack_checked(rows)
+
+
+class SharedLibSimulator(Simulator):
+    """Shared-object simulator loaded with ctypes.
+
+    The reference dlopens a C++ ABI ``simulator(vector<double>, ...)`` symbol
+    (AbcSim.h:96-114), which is not portably loadable outside C++; the
+    tpu-native equivalent defines a C ABI:
+
+        int abc_simulator(const double* pars, size_t npar,
+                          unsigned long seed, unsigned long serial,
+                          double* mets, size_t nmet);
+
+    returning 0 on success. ``nmet`` must be known up front (it is: the config's
+    metric count)."""
+
+    def __init__(self, soname: str, nmet: int):
+        self.lib = ctypes.CDLL(soname)
+        try:
+            self._fn = self.lib.abc_simulator
+        except AttributeError:
+            raise SimulatorError(
+                f"{soname} does not export C symbol 'abc_simulator'", code=-211
+            )
+        self._fn.restype = ctypes.c_int
+        self._fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_size_t,
+            ctypes.c_ulong, ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_size_t,
+        ]
+        self.nmet = nmet
+
+    def run_batch(self, params, seeds, serials):
+        rows = []
+        for row, seed, serial in zip(params, seeds, serials):
+            pars = (ctypes.c_double * len(row))(*[float(v) for v in row])
+            mets = (ctypes.c_double * self.nmet)()
+            rc = self._fn(pars, len(row), int(seed), int(serial), mets, self.nmet)
+            if rc != 0:
+                raise SimulatorError(
+                    f"shared-lib simulator returned {rc} for serial {serial}",
+                    code=-211,
+                )
+            rows.append(np.array(list(mets), np.float64))
+        return _stack_checked(rows)
+
+
+def _stack_checked(rows: list[np.ndarray]) -> np.ndarray:
+    if not rows:
+        return np.zeros((0, 0))
+    width = len(rows[0])
+    for r in rows:
+        if len(r) != width:
+            raise SimulatorError(
+                "simulator returned inconsistent metric counts", code=-211
+            )
+    return np.stack(rows)
+
+
+# --------------------------------------------------------------------------- #
+# Built-in device simulators (the reference's example models, TPU-native)
+# --------------------------------------------------------------------------- #
+
+def make_dice_simulator(max_dice: int = 1000) -> DeviceSimulator:
+    """The dice game (examples/include/dice.h:14-45): roll ``ndice`` dice with
+    ``nsides`` faces; metrics are the sum and the per-roll sample sd (ddof=1,
+    matching gsl_stats_sd). Vectorized with a static max_dice bound + masking
+    (static shapes for XLA)."""
+
+    def fn(params, key):
+        n = jnp.clip(params[0], 1, max_dice).astype(jnp.int32)
+        faces = jnp.maximum(params[1], 1).astype(jnp.int32)
+        rolls = jax.random.randint(key, (max_dice,), 1, faces + 1).astype(
+            params.dtype
+        )
+        mask = (jnp.arange(max_dice) < n).astype(params.dtype)
+        total = jnp.sum(rolls * mask)
+        mean = total / n
+        ss = jnp.sum(mask * (rolls - mean) ** 2)
+        sd = jnp.where(n > 1, jnp.sqrt(ss / jnp.maximum(n - 1, 1)), 0.0)
+        return jnp.stack([total, sd])
+
+    return DeviceSimulator(fn, nmet=2)
+
+
+def make_gaussian_simulator(n_obs: int = 100) -> DeviceSimulator:
+    """Conjugate-Gaussian toy: params = (mu, sigma); draw ``n_obs`` iid
+    N(mu, sigma) samples, return (sample mean, sample sd). Used for analytic
+    posterior validation (BASELINE.json configs[1])."""
+
+    def fn(params, key):
+        mu, sigma = params[0], jnp.abs(params[1])
+        x = mu + sigma * jax.random.normal(key, (n_obs,), params.dtype)
+        m = jnp.mean(x)
+        sd = jnp.sqrt(jnp.sum((x - m) ** 2) / (n_obs - 1))
+        return jnp.stack([m, sd])
+
+    return DeviceSimulator(fn, nmet=2)
+
+
+def make_sir_simulator(
+    population: int = 10_000, t_steps: int = 160, i0: int = 10
+) -> DeviceSimulator:
+    """Stochastic discrete-time SIR (chain-binomial / Reed-Frost style), a
+    TPU-friendly lax.scan over time steps (BASELINE.json configs[2]).
+
+    params = (beta, gamma) per-step rates; metrics = (final size, peak
+    prevalence, peak time, epidemic duration, mean infectious duration proxy,
+    half-time)."""
+
+    def fn(params, key):
+        beta = jnp.abs(params[0])
+        gamma = jnp.clip(jnp.abs(params[1]), 1e-6, 1.0)
+        dtype = params.dtype
+
+        def step(carry, k):
+            s, i, r = carry
+            p_inf = 1.0 - jnp.exp(-beta * i / population)
+            k1, k2 = jax.random.split(k)
+            # gaussian approximation to the binomial keeps everything on VPU
+            def binom(kk, n, p):
+                mean = n * p
+                sd = jnp.sqrt(jnp.maximum(n * p * (1 - p), 0.0))
+                draw = mean + sd * jax.random.normal(kk, (), dtype)
+                return jnp.clip(jnp.round(draw), 0.0, n)
+
+            new_inf = binom(k1, s, p_inf)
+            new_rec = binom(k2, i, 1.0 - jnp.exp(-gamma))
+            s2 = s - new_inf
+            i2 = i + new_inf - new_rec
+            r2 = r + new_rec
+            return (s2, i2, r2), (i2, new_inf)
+
+        keys = jax.random.split(key, t_steps)
+        init = (
+            jnp.asarray(population - i0, dtype),
+            jnp.asarray(i0, dtype),
+            jnp.asarray(0, dtype),
+        )
+        (s, i, r), (prevalence, incidence) = jax.lax.scan(step, init, keys)
+        t = jnp.arange(t_steps, dtype=dtype)
+        final_size = r + i
+        peak = jnp.max(prevalence)
+        peak_time = t[jnp.argmax(prevalence)]
+        active = (prevalence > 0).astype(dtype)
+        duration = jnp.sum(active)
+        total_inc = jnp.sum(incidence)
+        mean_time = jnp.sum(t * incidence) / jnp.maximum(total_inc, 1.0)
+        half = jnp.argmax(jnp.cumsum(incidence) >= total_inc / 2).astype(dtype)
+        return jnp.stack([final_size, peak, peak_time, duration, mean_time, half])
+
+    return DeviceSimulator(fn, nmet=6)
+
+
+#: Registry for the config-file "simulator" key (an extension over the reference,
+#: which only binds executables / shared objects from config).
+BUILTIN_SIMULATORS: dict[str, Callable[[], DeviceSimulator]] = {
+    "dice": make_dice_simulator,
+    "gaussian": make_gaussian_simulator,
+    "sir": make_sir_simulator,
+}
+
+
+def resolve_simulator(config, explicit: Simulator | None = None) -> Simulator | None:
+    """Binding order: explicit > config 'simulator' (builtin) > 'shared' >
+    'executable' (src/AbcSmc.cpp:402-406)."""
+    if explicit is not None:
+        return explicit
+    if config.simulator_name:
+        if config.simulator_name not in BUILTIN_SIMULATORS:
+            raise SimulatorError(
+                f"unknown builtin simulator {config.simulator_name!r}"
+            )
+        return BUILTIN_SIMULATORS[config.simulator_name]()
+    if config.shared:
+        return SharedLibSimulator(config.shared, config.nmet)
+    if config.executable:
+        return ExecSimulator(config.executable)
+    return None

@@ -1,0 +1,173 @@
+"""Partial Least Squares regression, TPU-first.
+
+The reference's PLS lives in the absent ``lib/PLS`` submodule (upstream
+tjhladish/PLS, a NIPALS-family / kernel PLS per Dayal & MacGregor); the normative
+contract is its call sites (src/AbcUtil.cpp:423-458):
+
+    model = PLS::Model(X_train, Y_train)            # fit
+    em    = model.cv_NEW_DATA(X_test, Y_test)        # error-vs-components matrix
+    A     = PLS::optimal_num_components(em).maxCoeff()
+    S     = model.scores(X, A).real()                # score-space projection
+
+This implementation uses the **improved kernel PLS algorithm #1** (Dayal &
+MacGregor 1997, J. Chemometrics 11:73-85): the entire fit operates on the Gram
+matrices X'X (m x m) and X'Y (m x p), never on the n x m data matrix, so
+
+- the O(n) work is two matmuls that ride the MXU and shard over the particle axis
+  with a single psum (see abcsmc_tpu.parallel),
+- the per-component iteration is O(m^2) on tiny matrices,
+- scores are one matmul: T = X @ R.
+
+All quantities are real-valued by construction (the reference's complex-score edge
+case, handled by ``.real()`` at src/AbcUtil.cpp:453-454, cannot arise here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class PLSModel:
+    """Fitted PLS model. ``rotations`` R (m x A) maps X to scores; ``y_loadings``
+    Q (p x A); coefficients for A components are R[:, :A] @ Q[:, :A].T."""
+
+    rotations: jnp.ndarray     # R, m x A
+    x_loadings: jnp.ndarray    # P, m x A
+    y_loadings: jnp.ndarray    # Q, p x A
+    ncomp: int
+
+    def scores(self, x, num_components: int | None = None):
+        """T = X @ R[:, :A] (Dayal-MacGregor; equals NIPALS X W(P'W)^-1)."""
+        a = self.ncomp if num_components is None else int(num_components)
+        return jnp.asarray(x) @ self.rotations[:, :a]
+
+    def coefficients(self, num_components: int | None = None):
+        a = self.ncomp if num_components is None else int(num_components)
+        return self.rotations[:, :a] @ self.y_loadings[:, :a].T
+
+    def predict(self, x, num_components: int | None = None):
+        return jnp.asarray(x) @ self.coefficients(num_components)
+
+    def cv_new_data(self, x_val, y_val):
+        """Error matrix for NEW_DATA validation (reference cv_NEW_DATA,
+        src/AbcUtil.cpp:446): entry [a, j] = SSE of response j using a+1
+        components on the held-out data."""
+        x_val = jnp.asarray(x_val)
+        y_val = jnp.asarray(y_val)
+        t_val = x_val @ self.rotations                     # n_v x A
+        # contribution of component a to response j: t_val[:, a] * Q[j, a]
+        contribs = t_val[:, :, None] * self.y_loadings.T[None, :, :]  # n_v x A x p
+        preds = jnp.cumsum(contribs, axis=1)               # n_v x A x p
+        resid = y_val[:, None, :] - preds
+        return jnp.sum(resid * resid, axis=0)              # A x p
+
+
+def _fit_gram(xtx, xty, ncomp: int):
+    """Dayal & MacGregor improved kernel PLS #1 on Gram matrices."""
+    m = xtx.shape[0]
+    p = xty.shape[1]
+    dtype = xtx.dtype
+
+    def step(carry, _):
+        xty_c, R, P, Q, a = carry
+        if p == 1:
+            w = xty_c[:, 0]
+        else:
+            # dominant eigenvector of (X'Y)'(X'Y) (p x p, symmetric PSD) via
+            # normalized matrix squaring + power steps: error ~ (l2/l1)^(2^k),
+            # compiles fast and vectorizes, unlike eigh-in-scan
+            c = xty_c.T @ xty_c
+
+            def _nrm(m):
+                s = jnp.sqrt(jnp.sum(m * m))
+                return m / jnp.where(s > 0, s, 1.0)
+
+            ck = _nrm(c)
+            for _ in range(8):          # ck ~ c^256, renormalized
+                ck = _nrm(ck @ ck)
+            v0 = jnp.ones((p,), dtype) / jnp.sqrt(jnp.asarray(p, dtype))
+            v = ck @ v0
+
+            def power_step(vec, _):
+                v2 = c @ vec
+                norm = jnp.sqrt(jnp.sum(v2 * v2))
+                return v2 / jnp.where(norm > 0, norm, 1.0), None
+
+            q_dom, _ = jax.lax.scan(power_step, _nrm(v), None, length=8)
+            w = xty_c @ q_dom
+        wnorm = jnp.sqrt(jnp.sum(w * w))
+        w = w / jnp.where(wnorm > 0, wnorm, 1.0)
+        # orthogonalize against previous loadings: r = w - R (P' w)
+        r = w - R @ (P.T @ w)
+        xtx_r = xtx @ r
+        tt = r @ xtx_r
+        tt_safe = jnp.where(tt > 0, tt, 1.0)
+        p_a = xtx_r / tt_safe
+        q_a = (xty_c.T @ r) / tt_safe
+        xty_next = xty_c - tt * jnp.outer(p_a, q_a)
+        R = R.at[:, a].set(jnp.where(tt > 0, r, 0.0))
+        P = P.at[:, a].set(jnp.where(tt > 0, p_a, 0.0))
+        Q = Q.at[:, a].set(jnp.where(tt > 0, q_a, 0.0))
+        return (xty_next, R, P, Q, a + 1), None
+
+    init = (
+        xty,
+        jnp.zeros((m, ncomp), dtype),
+        jnp.zeros((m, ncomp), dtype),
+        jnp.zeros((p, ncomp), dtype),
+        jnp.int32(0),
+    )
+    (xty_f, R, P, Q, _), _ = jax.lax.scan(step, init, None, length=ncomp)
+    return R, P, Q
+
+
+@partial(jax.jit, static_argnames=("ncomp",))
+def _fit_arrays(x, y, ncomp: int):
+    xtx = x.T @ x
+    xty = x.T @ y
+    return _fit_gram(xtx, xty, ncomp)
+
+
+def fit(x, y, ncomp: int | None = None) -> PLSModel:
+    """Fit PLS of Y on X (both already centered/z-scored by the caller, matching
+    the reference call sites which pass z-scored matrices).
+
+    ncomp defaults to min(n-1, m) like NIPALS' maximum meaningful rank."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    max_rank = min(x.shape[0] - 1, x.shape[1])
+    a = max_rank if ncomp is None else min(int(ncomp), max_rank)
+    a = max(a, 1)
+    R, P, Q = _fit_arrays(x, y, a)
+    return PLSModel(rotations=R, x_loadings=P, y_loadings=Q, ncomp=a)
+
+
+def fit_from_gram(xtx, xty, ncomp: int) -> PLSModel:
+    """Fit directly from Gram matrices (the sharded path: X'X and X'Y are psums
+    of per-shard partial products over the particle axis)."""
+    R, P, Q = _fit_gram(jnp.asarray(xtx), jnp.asarray(xty), int(ncomp))
+    return PLSModel(rotations=R, x_loadings=P, y_loadings=Q, ncomp=int(ncomp))
+
+
+def optimal_num_components(error_matrix, rel_tol: float = 0.1) -> jnp.ndarray:
+    """Per-response optimal component counts (1-based) from a validation error
+    matrix [A x p] (reference PLS::optimal_num_components; the call site takes
+    .maxCoeff(), src/AbcUtil.cpp:447-449).
+
+    Selection is parsimonious: the *fewest* components whose PRESS is within
+    ``rel_tol`` (relative) of the minimum - the standard guard against PRESS's
+    long noisy plateau selecting an overfit count (upstream tjhladish/PLS uses a
+    van der Voet-style test to the same effect; the submodule source is absent
+    from the reference snapshot, so the tolerance rule here is the documented
+    stand-in)."""
+    em = jnp.asarray(error_matrix)
+    min_press = jnp.min(em, axis=0)
+    ok = em <= (1.0 + rel_tol) * min_press[None, :]
+    return jnp.argmax(ok, axis=0) + 1

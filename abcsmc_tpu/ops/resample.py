@@ -1,0 +1,67 @@
+"""Weighted resampling of predictive-prior particles.
+
+The reference draws particle indices from GSL's discrete distribution
+(gsl_ran_discrete, src/AbcUtil.cpp:111-120) - i.e. iid categorical draws
+proportional to the (arbitrarily normalized) weights - then perturbs each draw
+with truncated (MV-)normal noise (src/AbcUtil.cpp:377-404). Here the categorical
+draw is the Gumbel-max trick vectorized over all N proposals at once, and the
+perturbation loops live in ParameterSet.noise_independent / noise_multivariate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def categorical_indices(key, weights, num_samples: int):
+    """Draw ``num_samples`` iid indices with P(j) proportional to weights[j].
+
+    Accepts unnormalized weights (GSL renormalizes internally; so does
+    jax.random.categorical on logits)."""
+    w = jnp.asarray(weights)
+    logits = jnp.log(jnp.clip(w, min=jnp.finfo(w.dtype).tiny))
+    return jax.random.categorical(key, logits, shape=(num_samples,))
+
+
+def sample_predictive_priors(
+    key, num_samples: int, weights, prev_params, parameter_set, doubled_variance,
+    max_retries: int = 1000,
+):
+    """INDEPENDENT-noise proposal of the next generation
+    (src/AbcUtil.cpp:377-389): weighted resample of survivors, then per-parameter
+    truncated normal with the doubled variance."""
+    k_pick, k_noise = jax.random.split(key)
+    idx = categorical_indices(k_pick, weights, num_samples)
+    mu = jnp.asarray(prev_params)[idx]
+    return parameter_set.noise_independent(
+        k_noise, mu, doubled_variance, max_retries
+    )
+
+
+def sample_mvn_predictive_priors(
+    key, num_samples: int, weights, prev_params, parameter_set, chol_lower,
+    max_retries: int = 1000,
+):
+    """MULTIVARIATE-noise proposal (src/AbcUtil.cpp:391-404): weighted resample,
+    then truncated MVN with covariance = survivors' covariance with doubled
+    diagonal (setup via :func:`setup_mvn_sampler`)."""
+    k_pick, k_noise = jax.random.split(key)
+    idx = categorical_indices(k_pick, weights, num_samples)
+    mu = jnp.asarray(prev_params)[idx]
+    return parameter_set.noise_multivariate(k_noise, mu, chol_lower, max_retries)
+
+
+@jax.jit
+def setup_mvn_sampler(params):
+    """Cholesky factor of the survivors' covariance with doubled *diagonal only*
+    (parity quirk: src/AbcUtil.cpp:462-488 doubles just the diagonal)."""
+    params = jnp.asarray(params)
+    n = params.shape[0]
+    centered = params - jnp.mean(params, axis=0)[None, :]
+    sigma = (centered.T @ centered) / jnp.maximum(n - 1, 1)
+    sigma = sigma + jnp.diag(jnp.diag(sigma))  # double the diagonal
+    return jnp.linalg.cholesky(sigma)

@@ -1,0 +1,368 @@
+"""Fully-fused, mesh-sharded SMC generation step.
+
+One jitted SPMD program per generation, sharded over the particle axis
+(shard_map over a 1-D mesh): simulate -> z-score (psum moments) -> PLS fit
+(psum Gram matrices) -> component CV (psum PRESS) -> score projection ->
+distance -> global top-K (local top-k + all_gather + re-top-k) -> doubled
+variance + kernel-mixture weights -> weighted resample + truncated perturbation
+of the next generation, each shard emitting its local chunk.
+
+This is the TPU-native replacement for the reference's per-generation sequence
+of SQLite scans + Eigen/GSL loops (src/AbcSmc.cpp:452-559 with the numerics of
+src/AbcUtil.cpp): two collectives per generation (psum of small Gram/moment
+tensors, all_gather of K-candidate rows) ride ICI; everything else is local and
+fuses into large batched XLA ops on the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from abcsmc_tpu.config import FilterType, NoiseType
+from abcsmc_tpu.models.parameters import ParameterSet
+from abcsmc_tpu.models.simulators import DeviceSimulator
+from abcsmc_tpu.models.transforms import ParameterTransform
+from abcsmc_tpu.ops import pls as pls_mod
+from abcsmc_tpu.ops import weights as weights_mod
+from abcsmc_tpu.parallel.mesh import PARTICLE_AXIS
+
+AXIS = PARTICLE_AXIS
+
+
+@dataclass
+class GenerationResult:
+    """Outputs of one sharded generation step. Arrays tagged [sharded] are laid
+    out over the particle axis of the mesh; the rest are replicated."""
+
+    metrics: jax.Array          # [N, M]  [sharded] simulated metrics
+    distances: jax.Array        # [N]     [sharded] ranking distances
+    survivor_idx: jax.Array     # [K]     global indices of survivors, by rank
+    survivor_params: jax.Array  # [K, P]
+    survivor_metrics: jax.Array  # [K, M]
+    weights: jax.Array          # [K]
+    doubled_variance: jax.Array  # [P]
+    next_params: jax.Array      # [N2, P] [sharded] proposed next generation
+    next_seeds: jax.Array       # [N2]    [sharded]
+    ncomp_used: jax.Array       # ()      PLS components used (0 for SIMPLE)
+
+
+class ShardedGeneration:
+    """Factory of jitted, mesh-sharded SMC generation programs.
+
+    Parameters are static configuration; per-call shapes (population size N,
+    survivor count K, next size N2) are static arguments of the compiled step
+    (a handful of distinct shapes per run -> a handful of compilations).
+    """
+
+    def __init__(
+        self,
+        par_set: ParameterSet,
+        transform: ParameterTransform,
+        simulator: DeviceSimulator,
+        obs: np.ndarray,
+        *,
+        mesh: Mesh,
+        filter_type: FilterType = FilterType.PLS,
+        noise_type: NoiseType = NoiseType.INDEPENDENT,
+        training_fraction: float = 0.5,
+        max_pls_components: int | None = None,
+        max_retries: int = 1000,
+        dtype=jnp.float32,
+    ):
+        if par_set.pseudo_idx or par_set.posterior_idx:
+            raise ValueError(
+                "sharded generation supports fitting mode (prior parameters) "
+                "only; projection-mode grids run through the host engine"
+            )
+        self.par_set = par_set
+        self.transform = transform
+        self.simulator = simulator
+        self.obs = np.asarray(obs)
+        self.mesh = mesh
+        self.ndev = mesh.devices.size
+        self.filter_type = filter_type
+        self.noise_type = noise_type
+        self.training_fraction = float(training_fraction)
+        self.max_pls_components = max_pls_components
+        self.max_retries = int(max_retries)
+        self.dtype = dtype
+        self._step_cache: dict[Any, Any] = {}
+        self._init_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ helpers
+    def _sharded(self):
+        return NamedSharding(self.mesh, P(AXIS))
+
+    def _replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    # ------------------------------------------------------------------ gen 0
+    def init_population(self, key, n: int):
+        """Sample generation 0 from the priors, shard-local draws."""
+        assert n % self.ndev == 0, (n, self.ndev)
+        fn = self._init_cache.get(n)
+        if fn is None:
+            local_n = n // self.ndev
+
+            def local_init(key):
+                idx = jax.lax.axis_index(AXIS)
+                k = jax.random.fold_in(key, idx)
+                k_par, k_seed = jax.random.split(k)
+                params, _ = self.par_set.sample_priors(k_par, local_n)
+                seeds = jax.random.randint(
+                    k_seed, (local_n,), 0, np.iinfo(np.int32).max
+                ).astype(jnp.uint32)
+                return params.astype(self.dtype), seeds
+
+            fn = jax.jit(
+                jax.shard_map(
+                    local_init, mesh=self.mesh, in_specs=P(), out_specs=P(AXIS)
+                )
+            )
+            self._init_cache[n] = fn
+        return fn(key)
+
+    # ------------------------------------------------------------------ the step
+    def step(
+        self, key, params, seeds, keep: int, n_next: int,
+        prev_state: tuple | None = None,
+    ) -> GenerationResult:
+        """Run one full generation. ``prev_state`` is (survivor_params, weights,
+        doubled_variance) from the previous generation, or None for the first.
+        """
+        return self._step_dispatch(
+            key, params, seeds, keep, n_next, prev_state, include_sim=True
+        )
+
+    def step_precomputed(
+        self, key, params, metrics, keep: int, n_next: int,
+        prev_state: tuple | None = None,
+    ) -> GenerationResult:
+        """The generation step with the simulator excluded - metrics are inputs.
+        This is the BASELINE.md north-star unit (filter + weight + resample,
+        simulator excluded)."""
+        return self._step_dispatch(
+            key, params, metrics, keep, n_next, prev_state, include_sim=False
+        )
+
+    def _step_dispatch(
+        self, key, params, second, keep, n_next, prev_state, include_sim: bool
+    ) -> GenerationResult:
+        n = params.shape[0]
+        assert n % self.ndev == 0 and n_next % self.ndev == 0
+        first = prev_state is None
+        cache_key = (n, keep, n_next, first, include_sim)
+        fn = self._step_cache.get(cache_key)
+        if fn is None:
+            fn = self._build_step(n, keep, n_next, first, include_sim)
+            self._step_cache[cache_key] = fn
+        if first:
+            # dummy replicated state keeps the jitted signature uniform
+            p = self.par_set.npar
+            prev_state = (
+                jnp.zeros((1, p), self.dtype),
+                jnp.ones((1,), self.dtype),
+                jnp.ones((p,), self.dtype),
+            )
+        return fn(key, params, second, *prev_state)
+
+    def _build_step(
+        self, n: int, keep: int, n_next: int, first: bool,
+        include_sim: bool = True,
+    ):
+        ndev = self.ndev
+        local_n = n // ndev
+        local_next = n_next // ndev
+        n_train = min(max(int(n * self.training_fraction + 0.5), 1), n - 1)
+        npar = self.par_set.npar
+        nmet = len(self.obs)
+        max_comp = min(n_train - 1, nmet)
+        if self.max_pls_components:
+            max_comp = min(max_comp, self.max_pls_components)
+        max_comp = max(max_comp, 1)
+        k_local = min(keep, local_n)
+        obs = jnp.asarray(self.obs, self.dtype)
+        use_pls = self.filter_type == FilterType.PLS
+        eps = jnp.asarray(1e-30, self.dtype)
+
+        def local_step(key, params_l, second_l, prev_par, prev_w, prev_dv):
+            shard = jax.lax.axis_index(AXIS)
+
+            if include_sim:
+                # ---- simulate (model space) ----
+                seeds_l = second_l
+                upars_l = self.transform.to_model_space(params_l).astype(
+                    self.dtype
+                )
+                mets_l = self.simulator.batch_fn(upars_l, seeds_l).astype(
+                    self.dtype
+                )
+            else:
+                mets_l = second_l.astype(self.dtype)
+
+            # ---- global metric moments (psum) ----
+            s1 = jax.lax.psum(jnp.sum(mets_l, axis=0), AXIS)
+            s2 = jax.lax.psum(jnp.sum(mets_l * mets_l, axis=0), AXIS)
+            mean = s1 / n
+            sd = jnp.sqrt(jnp.maximum(s2 - n * mean * mean, 0.0) / (n - 1))
+            sd = jnp.maximum(sd, eps)
+            zmet_l = (mets_l - mean) / sd
+            obs_z = (obs - mean) / sd
+
+            gidx = shard * local_n + jnp.arange(local_n)
+
+            if use_pls:
+                # ---- global parameter moments ----
+                p1 = jax.lax.psum(jnp.sum(params_l, axis=0), AXIS)
+                p2 = jax.lax.psum(jnp.sum(params_l * params_l, axis=0), AXIS)
+                pmean = p1 / n
+                psd = jnp.sqrt(
+                    jnp.maximum(p2 - n * pmean * pmean, 0.0) / (n - 1)
+                )
+                psd = jnp.maximum(psd, eps)
+                zpar_l = (params_l - pmean) / psd
+
+                # ---- PLS fit on the training rows (Gram psums) ----
+                train = (gidx < n_train).astype(self.dtype)[:, None]
+                xm = zmet_l * train
+                xtx = jax.lax.psum(xm.T @ xm, AXIS)
+                xty = jax.lax.psum(xm.T @ (zpar_l * train), AXIS)
+                R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
+
+                # ---- NEW_DATA CV on the test rows (PRESS psum) ----
+                t_val = zmet_l @ R                                # [ln, A]
+                contribs = t_val[:, :, None] * Q.T[None, :, :]    # [ln, A, p]
+                preds = jnp.cumsum(contribs, axis=1)
+                resid = zpar_l[:, None, :] - preds
+                test = 1.0 - train
+                sse_l = jnp.sum(resid * resid * test[:, :, None], axis=0)
+                press = jax.lax.psum(sse_l, AXIS)                 # [A, p]
+
+                min_press = jnp.min(press, axis=0)
+                ok = press <= 1.1 * min_press[None, :]
+                ncomp_resp = jnp.argmax(ok, axis=0) + 1
+                ncomp_used = jnp.max(ncomp_resp)
+                col_mask = (
+                    jnp.arange(max_comp) < ncomp_used
+                ).astype(self.dtype)[None, :]
+                R_used = R * col_mask
+
+                scores_l = zmet_l @ R_used
+                obs_scores = obs_z @ R_used
+                diff = scores_l - obs_scores[None, :]
+                d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+            else:
+                diff = zmet_l - obs_z[None, :]
+                d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+                ncomp_used = jnp.int32(0)
+
+            # ---- global top-K: local top-k, all_gather candidates, re-top-k ----
+            neg_loc, loc_idx = jax.lax.top_k(-d_l, k_local)
+            cand_d = jax.lax.all_gather(-neg_loc, AXIS).reshape(-1)
+            cand_par = jax.lax.all_gather(params_l[loc_idx], AXIS).reshape(
+                -1, npar
+            )
+            cand_met = jax.lax.all_gather(mets_l[loc_idx], AXIS).reshape(
+                -1, nmet
+            )
+            cand_gidx = jax.lax.all_gather(gidx[loc_idx], AXIS).reshape(-1)
+            neg_glob, pos = jax.lax.top_k(-cand_d, keep)
+            surv_par = cand_par[pos]                    # [K, P] replicated
+            surv_met = cand_met[pos]
+            surv_gidx = cand_gidx[pos]
+
+            # ---- doubled variance + weights (replicated small math) ----
+            smean = jnp.mean(surv_par, axis=0)
+            dv = 2.0 * jnp.sum(
+                (surv_par - smean[None, :]) ** 2, axis=0
+            ) / max(keep - 1, 1)
+
+            if first:
+                w = jnp.full((keep,), 1.0 / keep, self.dtype)
+            else:
+                log_num = self.par_set.prior_log_pdf(surv_par).astype(self.dtype)
+                log_den = weights_mod.log_kernel_mixture_density(
+                    surv_par, prev_par, jnp.log(prev_w), prev_dv,
+                    block=min(2048, max(prev_par.shape[0], 1)),
+                )
+                log_w = log_num - log_den
+                log_w = log_w - jnp.max(log_w)
+                w = jnp.exp(log_w)
+                w = w / jnp.sqrt(jnp.sum(w * w))  # L2-normalize (parity quirk)
+
+            # ---- propose next generation, shard-locally ----
+            k_shard = jax.random.fold_in(key, shard)
+            k_pick, k_noise, k_seed = jax.random.split(k_shard, 3)
+            logits = jnp.log(jnp.clip(w, min=jnp.finfo(self.dtype).tiny))
+            pick = jax.random.categorical(k_pick, logits, shape=(local_next,))
+            mu = surv_par[pick]
+            if self.noise_type == NoiseType.MULTIVARIATE:
+                centered = surv_par - smean[None, :]
+                sigma = (centered.T @ centered) / max(keep - 1, 1)
+                sigma = sigma + jnp.diag(jnp.diag(sigma))
+                L = jnp.linalg.cholesky(sigma)
+                nxt = self.par_set.noise_multivariate(
+                    k_noise, mu, L, self.max_retries
+                )
+            else:
+                nxt = self.par_set.noise_independent(
+                    k_noise, mu, dv, self.max_retries
+                )
+            nxt_seeds = jax.random.randint(
+                k_seed, (local_next,), 0, np.iinfo(np.int32).max
+            ).astype(jnp.uint32)
+
+            return (
+                mets_l, d_l, surv_gidx, surv_par, surv_met, w, dv,
+                nxt.astype(self.dtype), nxt_seeds, ncomp_used,
+            )
+
+        sharded = P(AXIS)
+        rep = P()
+        mapped = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(rep, sharded, sharded, rep, rep, rep),
+            out_specs=(
+                sharded, sharded, rep, rep, rep, rep, rep, sharded, sharded, rep
+            ),
+            check_vma=False,
+        )
+
+        jitted = jax.jit(mapped)
+
+        def step_fn(key, params, seeds, prev_par, prev_w, prev_dv):
+            return GenerationResult(
+                *jitted(key, params, seeds, prev_par, prev_w, prev_dv)
+            )
+
+        return step_fn
+
+    # ------------------------------------------------------------------ full run
+    def run(self, key, set_sizes: list[int], keep_sizes: list[int]):
+        """Convenience: run all generations on-device; returns the final
+        GenerationResult plus per-generation survivor tuples."""
+        key, k0 = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+        params, seeds = self.init_population(k0, set_sizes[0])
+        state = None
+        history = []
+        result = None
+        for t in range(len(set_sizes)):
+            key, kt = jax.random.split(key)
+            n_next = set_sizes[t + 1] if t + 1 < len(set_sizes) else set_sizes[t]
+            result = self.step(
+                kt, params, seeds, keep_sizes[t], n_next, state
+            )
+            state = (
+                result.survivor_params, result.weights, result.doubled_variance
+            )
+            history.append(state)
+            params, seeds = result.next_params, result.next_seeds
+        return result, history

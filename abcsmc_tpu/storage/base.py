@@ -1,0 +1,107 @@
+"""Run-store interface.
+
+The reference uses a 4-table SQLite database as job queue, storage, and
+checkpoint at once (src/AbcSmc.cpp:33-36, 819-834). Here the store is an
+interface with two implementations:
+
+- :class:`abcsmc_tpu.storage.memstore.MemoryStorage` - in-memory columnar
+  tables, the hot path for fully on-device runs,
+- :class:`abcsmc_tpu.storage.sqlite_store.SQLiteStorage` - byte-compatible
+  reference schema, for durability, multi-process workers, and the reference's
+  R visualization scripts.
+
+Job lifecycle parity: status 'Q' (queued) -> 'R' (running) -> 'D' (done), with
+'P' (paused) honored in writeback guards; at-least-once execution via re-claiming
+of 'R' jobs ordered by (status, attempts) (src/AbcSmc.cpp:983-991) and
+first-writeback-wins idempotent updates (src/AbcSmc.cpp:1017-1029).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class GenerationData:
+    """All rows of one SMC set, in particleIdx order."""
+
+    set_num: int
+    serials: np.ndarray           # [N] int64
+    params: np.ndarray            # [N, P] fitting-space values (par table)
+    metrics: np.ndarray           # [N, M]; NaN where not yet simulated
+    posterior_ranks: np.ndarray   # [N] int64; -1 = not in predictive prior
+    statuses: np.ndarray          # [N] unicode in {Q, R, D, P}
+    seeds: np.ndarray             # [N] uint64
+
+    @property
+    def size(self) -> int:
+        return len(self.serials)
+
+    @property
+    def complete(self) -> bool:
+        return bool(np.all(self.statuses == "D"))
+
+    @property
+    def has_posterior(self) -> bool:
+        return bool(np.any(self.posterior_ranks > -1))
+
+    def predictive_prior_indices(self) -> np.ndarray:
+        """Survivor particle indices ordered by posterior rank
+        (src/AbcSmc.cpp:625-631)."""
+        mask = self.posterior_ranks > -1
+        idx = np.nonzero(mask)[0]
+        ranks = self.posterior_ranks[idx]
+        order = np.argsort(ranks)
+        return idx[order]
+
+
+@dataclass
+class ClaimedJobs:
+    serials: np.ndarray       # [n]
+    seeds: np.ndarray         # [n] uint64
+    params: np.ndarray        # [n, P] *model-space* values (upar table if present)
+
+
+class Storage:
+    """Abstract run store."""
+
+    def exists(self) -> bool:
+        raise NotImplementedError
+
+    def create(self, par_names: list[str], met_names: list[str], has_upar: bool):
+        raise NotImplementedError
+
+    def insert_generation(
+        self,
+        set_num: int,
+        params: np.ndarray,
+        seeds: np.ndarray,
+        upars: np.ndarray | None = None,
+        posterior_ranks: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Enqueue a generation as 'Q' rows; returns assigned serials."""
+        raise NotImplementedError
+
+    def read_generations(self) -> list[GenerationData]:
+        """All sets ascending by smcSet (src/AbcSmc.cpp:562-621)."""
+        raise NotImplementedError
+
+    def write_posterior_ranks(self, serials: np.ndarray, ranks: np.ndarray):
+        raise NotImplementedError
+
+    def claim_jobs(
+        self, n: int = 1, serial_req: int = -1, posterior_req: int = -1
+    ) -> ClaimedJobs:
+        raise NotImplementedError
+
+    def write_results(
+        self,
+        serials: np.ndarray,
+        metrics: np.ndarray,
+        start_times: np.ndarray,
+        durations: np.ndarray,
+    ) -> int:
+        """Guarded writeback; returns the number of rows actually updated."""
+        raise NotImplementedError

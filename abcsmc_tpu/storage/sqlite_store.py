@@ -1,0 +1,318 @@
+"""SQLite run store with the reference's exact schema.
+
+Schema parity (src/AbcSmc.cpp:819-834):
+
+    create table job ( serial int primary key asc, smcSet int, particleIdx int,
+                       startTime int, duration real, status text, posterior int,
+                       attempts int );
+    create index idx1 on job (status, attempts);
+    create table par ( serial int primary key, seed blob, <par short names> real... );
+    create table upar ( ... );      -- only when untransforms are configured
+    create table met ( serial int primary key, <met short names> real... );
+
+Concurrency parity: claims and writebacks run in BEGIN EXCLUSIVE transactions
+(src/AbcSmc.cpp:887, 936) with busy-retry (the sqdb wrapper sleeps 1s on
+SQLITE_BUSY, lib/sqdb/src/sqdb.cpp:271-289 - here a busy_timeout), giving the
+same at-least-once multi-process worker semantics. Databases produced by the C++
+reference are readable by this store and vice versa.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import time
+
+import numpy as np
+
+from abcsmc_tpu.errors import StorageError
+from abcsmc_tpu.storage.base import ClaimedJobs, GenerationData, Storage
+
+JOB_TABLE = "job"
+PAR_TABLE = "par"
+UPAR_TABLE = "upar"
+MET_TABLE = "met"
+
+
+def _tables_exist(conn, names) -> bool:
+    cur = conn.execute(
+        "select name from sqlite_master where type='table'"
+    )
+    have = {r[0] for r in cur.fetchall()}
+    return all(n in have for n in names)
+
+
+class SQLiteStorage(Storage):
+    def __init__(self, path: str, busy_timeout_s: float = 60.0):
+        self.path = path
+        self.busy_timeout_ms = int(busy_timeout_s * 1000)
+        self.par_names: list[str] = []
+        self.met_names: list[str] = []
+        self.has_upar = False
+        self._conn: sqlite3.Connection | None = None
+        self._load_schema_if_present()
+
+    # -- connection -------------------------------------------------------------
+    def _connect(self) -> sqlite3.Connection:
+        if self._conn is None:
+            self._conn = sqlite3.connect(self.path, isolation_level=None)
+            self._conn.execute(f"pragma busy_timeout={self.busy_timeout_ms}")
+        return self._conn
+
+    def close(self):
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def _load_schema_if_present(self):
+        conn = self._connect()
+        if _tables_exist(conn, [JOB_TABLE, PAR_TABLE, MET_TABLE]):
+            par_cols = [r[1] for r in conn.execute(f"pragma table_info({PAR_TABLE})")]
+            met_cols = [r[1] for r in conn.execute(f"pragma table_info({MET_TABLE})")]
+            self.par_names = par_cols[2:]  # skip serial, seed
+            self.met_names = met_cols[1:]  # skip serial
+            self.has_upar = _tables_exist(conn, [UPAR_TABLE])
+
+    # -- lifecycle -------------------------------------------------------------
+    def exists(self) -> bool:
+        return _tables_exist(self._connect(), [JOB_TABLE, PAR_TABLE, MET_TABLE])
+
+    def create(self, par_names, met_names, has_upar):
+        self.par_names = list(par_names)
+        self.met_names = list(met_names)
+        self.has_upar = has_upar
+        conn = self._connect()
+        par_cols = ", ".join(f"{n} real" for n in par_names)
+        met_cols = ", ".join(f"{n} real" for n in met_names)
+        conn.execute("BEGIN EXCLUSIVE")
+        try:
+            conn.execute(
+                f"create table {JOB_TABLE} ( serial int primary key asc, "
+                f"smcSet int, particleIdx int, startTime int, duration real, "
+                f"status text, posterior int, attempts int )"
+            )
+            conn.execute(
+                f"create index idx1 on {JOB_TABLE} (status, attempts)"
+            )
+            conn.execute(
+                f"create table {PAR_TABLE} ( serial int primary key, seed blob, "
+                f"{par_cols} )"
+            )
+            if has_upar:
+                conn.execute(
+                    f"create table {UPAR_TABLE} ( serial int primary key, "
+                    f"seed blob, {par_cols} )"
+                )
+            conn.execute(
+                f"create table {MET_TABLE} ( serial int primary key, {met_cols} )"
+            )
+            conn.execute("COMMIT")
+        except Exception:
+            conn.execute("ROLLBACK")
+            raise
+
+    def insert_generation(
+        self, set_num, params, seeds, upars=None, posterior_ranks=None
+    ):
+        params = np.asarray(params, np.float64)
+        n = params.shape[0]
+        conn = self._connect()
+        conn.execute("BEGIN EXCLUSIVE")
+        try:
+            row = conn.execute(
+                f"select coalesce(max(serial), -1) from {JOB_TABLE}"
+            ).fetchone()
+            start = int(row[0]) + 1
+            serials = np.arange(start, start + n, dtype=np.int64)
+            now = int(time.time())
+            npar = len(self.par_names)
+            par_ph = ", ".join(["?"] * npar)
+            conn.executemany(
+                f"insert into {JOB_TABLE} values ( ?, ?, ?, ?, NULL, 'Q', ?, 0 )",
+                [
+                    (
+                        int(serials[i]), int(set_num), i, now,
+                        int(posterior_ranks[i]) if posterior_ranks is not None else -1,
+                    )
+                    for i in range(n)
+                ],
+            )
+            # seed stored as a text blob, matching the reference's quoted insert
+            # (src/AbcSmc.cpp:537, 859-860)
+            conn.executemany(
+                f"insert into {PAR_TABLE} values ( ?, ?, {par_ph} )",
+                [
+                    (int(serials[i]), str(int(seeds[i])), *map(float, params[i]))
+                    for i in range(n)
+                ],
+            )
+            if self.has_upar and upars is not None:
+                upars = np.asarray(upars, np.float64)
+                conn.executemany(
+                    f"insert into {UPAR_TABLE} values ( ?, ?, {par_ph} )",
+                    [
+                        (int(serials[i]), str(int(seeds[i])), *map(float, upars[i]))
+                        for i in range(n)
+                    ],
+                )
+            met_ph = ", ".join(["NULL"] * len(self.met_names))
+            conn.executemany(
+                f"insert into {MET_TABLE} values ( ?, {met_ph} )",
+                [(int(serials[i]),) for i in range(n)],
+            )
+            conn.execute("COMMIT")
+        except Exception:
+            conn.execute("ROLLBACK")
+            raise
+        return serials
+
+    # -- reads -----------------------------------------------------------------
+    def read_generations(self):
+        conn = self._connect()
+        if not self.exists():
+            raise StorageError(
+                "Failed to read SMC set from database because one or more "
+                "tables are missing."
+            )
+        par_sel = ", ".join(f"P.{n}" for n in self.par_names)
+        met_sel = ", ".join(f"M.{n}" for n in self.met_names)
+        sets = [
+            r[0]
+            for r in conn.execute(
+                f"select distinct smcSet from {JOB_TABLE} order by smcSet"
+            )
+        ]
+        out = []
+        for t in sets:
+            rows = conn.execute(
+                f"select J.serial, J.particleIdx, J.posterior, J.status, P.seed, "
+                f"{par_sel}, {met_sel} "
+                f"from {JOB_TABLE} J, {MET_TABLE} M, {PAR_TABLE} P "
+                f"where J.serial = M.serial and J.serial = P.serial "
+                f"and J.smcSet = ? order by J.particleIdx",
+                (int(t),),
+            ).fetchall()
+            npar = len(self.par_names)
+            nmet = len(self.met_names)
+            serials = np.array([r[0] for r in rows], np.int64)
+            posterior = np.array([r[2] for r in rows], np.int64)
+            statuses = np.array([r[3] for r in rows])
+            seeds = np.array([int(r[4]) for r in rows], np.uint64)
+            params = np.array(
+                [[_f(v) for v in r[5 : 5 + npar]] for r in rows], np.float64
+            ).reshape(len(rows), npar)
+            metrics = np.array(
+                [[_f(v) for v in r[5 + npar : 5 + npar + nmet]] for r in rows],
+                np.float64,
+            ).reshape(len(rows), nmet)
+            out.append(
+                GenerationData(
+                    set_num=int(t), serials=serials, params=params,
+                    metrics=metrics, posterior_ranks=posterior,
+                    statuses=statuses, seeds=seeds,
+                )
+            )
+        return out
+
+    def write_posterior_ranks(self, serials, ranks):
+        conn = self._connect()
+        conn.execute("BEGIN EXCLUSIVE")
+        try:
+            conn.executemany(
+                f"update {JOB_TABLE} set posterior = ? where serial = ?",
+                [(int(r), int(s)) for s, r in zip(serials, ranks)],
+            )
+            conn.execute("COMMIT")
+        except Exception:
+            conn.execute("ROLLBACK")
+            raise
+
+    # -- job queue ----------------------------------------------------------------
+    def claim_jobs(self, n=1, serial_req=-1, posterior_req=-1):
+        conn = self._connect()
+        table = UPAR_TABLE if self.has_upar else PAR_TABLE
+        par_sel = ", ".join(f"P.{nm}" for nm in self.par_names)
+        base = (
+            f"select J.serial, P.seed, {par_sel} from {table} P, {JOB_TABLE} J "
+            f"where P.serial = J.serial "
+        )
+        if serial_req > -1:
+            q = base + f"and J.serial = {int(serial_req)}"
+        elif posterior_req > -1:
+            q = base + (
+                f"and smcSet = (select max(smcSet) from {JOB_TABLE} "
+                f"where posterior > -1) and posterior = {int(posterior_req)}"
+            )
+        else:
+            limit = "" if n == -1 else f"limit {int(n)}"
+            q = base + (
+                f"and (J.status = 'Q' or J.status = 'R') "
+                f"order by J.status, J.attempts {limit}"
+            )
+        now = int(time.time())
+        conn.execute("BEGIN EXCLUSIVE")
+        try:
+            rows = conn.execute(q).fetchall()
+            conn.executemany(
+                f"update {JOB_TABLE} set startTime = {now}, status = 'R', "
+                f"attempts = attempts + 1 where serial = ?",
+                [(int(r[0]),) for r in rows],
+            )
+            conn.execute("COMMIT")
+        except Exception:
+            conn.execute("ROLLBACK")
+            raise
+        npar = len(self.par_names)
+        return ClaimedJobs(
+            serials=np.array([r[0] for r in rows], np.int64),
+            seeds=np.array([int(r[1]) for r in rows], np.uint64),
+            params=np.array(
+                [[_f(v) for v in r[2 : 2 + npar]] for r in rows], np.float64
+            ).reshape(len(rows), npar),
+        )
+
+    def write_results(self, serials, metrics, start_times, durations):
+        conn = self._connect()
+        met_set = ", ".join(f"{nm} = ?" for nm in self.met_names)
+        written = 0
+        conn.execute("BEGIN EXCLUSIVE")
+        try:
+            for s, met, st, dur in zip(serials, metrics, start_times, durations):
+                s = int(s)
+                conn.execute(
+                    f"update {MET_TABLE} set {met_set} where serial = ? and "
+                    f"(select (status = 'R' or status = 'Q' or status = 'P') "
+                    f"from {JOB_TABLE} J where J.serial = ?)",
+                    (*[float(v) for v in met], s, s),
+                )
+                cur = conn.execute(
+                    f"update {JOB_TABLE} set startTime = ?, duration = ?, "
+                    f"status = 'D' where serial = ? and "
+                    f"(status = 'R' or status = 'Q' or status = 'P')",
+                    (int(st), float(dur), s),
+                )
+                written += cur.rowcount
+            conn.execute("COMMIT")
+        except Exception:
+            conn.execute("ROLLBACK")
+            raise
+        return written
+
+    # -- posterior slurp (for POSTERIOR parameters) ---------------------------------
+    def read_posterior_matrix(self, short_names: list[str]) -> np.ndarray:
+        """slurp_posterior parity (src/AbcSmc.cpp:293-335): values of the named
+        columns for rows with posterior > -1, in *serial* order (the reference
+        does not order by rank - preserved quirk)."""
+        conn = self._connect()
+        table = UPAR_TABLE if _tables_exist(conn, [UPAR_TABLE]) else PAR_TABLE
+        cols = ", ".join(short_names)
+        rows = conn.execute(
+            f"select {cols} from {table} P, {JOB_TABLE} J "
+            f"where P.serial = J.serial and posterior > -1"
+        ).fetchall()
+        return np.array(
+            [[_f(v) for v in r] for r in rows], np.float64
+        ).reshape(len(rows), len(short_names))
+
+
+def _f(v) -> float:
+    return float("nan") if v is None else float(v)

@@ -1,0 +1,108 @@
+"""Benchmark: the BASELINE.md north star - one SMC generation over 1M particles
+(PLS filtering + kernel-mixture weighting + weighted resample + truncated
+perturbation; simulator excluded), dengue-class shape: 6 parameters, 13 metrics,
+predictive prior 50k (fraction 0.05).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": target/value}
+
+Baseline target (BASELINE.json / BASELINE.md): < 1 s on a TPU v5e-8. This bench
+runs on however many chips are visible (one, under the driver) - beating 1 s on
+a single chip beats the 8-chip target outright.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 1_000_000          # particles per generation
+KEEP = 50_000          # predictive prior (fraction 0.05)
+NPAR = 6
+NMET = 13
+TARGET_S = 1.0
+
+
+def main():
+    from abcsmc_tpu.config import parse_config
+    from abcsmc_tpu.models.parameters import ParameterSet
+    from abcsmc_tpu.models.simulators import make_gaussian_simulator
+    from abcsmc_tpu.models.transforms import ParameterTransform
+    from abcsmc_tpu.parallel.generation import ShardedGeneration
+    from abcsmc_tpu.parallel.mesh import particle_mesh
+
+    ndev = len(jax.devices())
+    mesh = particle_mesh()
+
+    cfg = parse_config({
+        "smc_iterations": 2,
+        "num_samples": N,
+        "predictive_prior_size": KEEP,
+        "parameters": [
+            {"name": f"p{i}", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": 0.0, "par2": 1.0}
+            for i in range(NPAR)
+        ],
+        "metrics": [
+            {"name": f"m{i}", "num_type": "FLOAT", "value": 0.0}
+            for i in range(NMET)
+        ],
+    })
+    gen = ShardedGeneration(
+        ParameterSet.from_specs(cfg.parameters),
+        ParameterTransform(cfg.parameters),
+        make_gaussian_simulator(),  # unused: metrics precomputed
+        np.zeros(NMET),
+        mesh=mesh,
+        dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    params = jnp.asarray(rng.uniform(0, 1, size=(N, NPAR)), jnp.float32)
+    # metrics correlated with params so PLS has structure to find
+    mix = rng.normal(size=(NPAR, NMET)).astype(np.float32)
+    mets_np = (np.asarray(params) @ mix + 0.3 * rng.normal(size=(N, NMET))
+               ).astype(np.float32)
+    mets = jnp.asarray(mets_np)
+    prev_state = (
+        jnp.asarray(rng.uniform(0.3, 0.7, size=(KEEP, NPAR)), jnp.float32),
+        jnp.full((KEEP,), 1.0 / KEEP, jnp.float32),
+        jnp.full((NPAR,), 0.02, jnp.float32),
+    )
+
+    def run(k):
+        res = gen.step_precomputed(k, params, mets, KEEP, N, prev_state)
+        return res
+
+    # compile + warmup
+    res = run(key)
+    jax.block_until_ready(res.next_params)
+
+    times = []
+    for i in range(5):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        res = run(k)
+        jax.block_until_ready(res.next_params)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    print(json.dumps({
+        "metric": (
+            f"SMC generation, {N} particles ({NPAR} pars x {NMET} mets, "
+            f"keep {KEEP}): PLS filter + mixture weights + resample, "
+            f"sim excluded, {ndev} chip(s)"
+        ),
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(TARGET_S / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

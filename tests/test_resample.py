@@ -1,0 +1,90 @@
+"""Resampling + MVN setup semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from abcsmc_tpu.models.parameters import ContinuousUniformPrior, ParameterSet
+from abcsmc_tpu.ops import resample, ranking, stats
+
+
+def test_categorical_matches_weights():
+    w = jnp.array([0.1, 0.2, 0.3, 0.4])
+    idx = np.asarray(
+        resample.categorical_indices(jax.random.PRNGKey(0), w, 40000)
+    )
+    freq = np.bincount(idx, minlength=4) / 40000
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.01)
+
+
+def test_categorical_accepts_unnormalized():
+    w = jnp.array([1.0, 3.0])
+    idx = np.asarray(
+        resample.categorical_indices(jax.random.PRNGKey(1), w, 20000)
+    )
+    assert np.mean(idx == 1) == pytest.approx(0.75, abs=0.02)
+
+
+def test_setup_mvn_doubles_diagonal_only():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 3)) @ np.array(
+        [[1.0, 0.3, 0.0], [0.0, 1.0, 0.2], [0.0, 0.0, 1.0]]
+    )
+    L = np.asarray(resample.setup_mvn_sampler(jnp.asarray(x)))
+    sigma_hat = L @ L.T
+    cov = np.cov(x.T, ddof=1)
+    expected = cov + np.diag(np.diag(cov))
+    np.testing.assert_allclose(sigma_hat, expected, rtol=1e-8)
+
+
+def test_sample_predictive_priors_shapes_and_support():
+    ps = ParameterSet([
+        ContinuousUniformPrior("a", 0.0, 1.0),
+        ContinuousUniformPrior("b", 0.0, 1.0),
+    ])
+    prev = jnp.asarray(np.random.default_rng(0).uniform(0.3, 0.7, (20, 2)))
+    w = jnp.full((20,), 0.05)
+    dv = jnp.array([0.01, 0.01])
+    out = np.asarray(
+        resample.sample_predictive_priors(
+            jax.random.PRNGKey(0), 100, w, prev, ps, dv
+        )
+    )
+    assert out.shape == (100, 2)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_ranking_simple_orders_by_distance():
+    mets = jnp.array([[1.0, 1.0], [5.0, 5.0], [2.0, 2.0], [10.0, -3.0]])
+    obs = jnp.array([1.0, 1.0])
+    order, dists = ranking.ranking_simple(mets, obs)
+    assert list(np.asarray(order))[0] == 0
+    assert float(dists[0]) < float(dists[2]) < float(dists[1])
+
+
+def test_ranking_pls_recovers_closest_particle():
+    rng = np.random.default_rng(0)
+    n, p = 300, 2
+    theta = rng.uniform(-3, 3, size=(n, p))
+    # metrics: linear images of theta + redundant correlated copies + noise
+    A = rng.normal(size=(p, 6))
+    mets = theta @ A + 0.05 * rng.normal(size=(n, 6))
+    theta_true = np.array([0.5, -1.0])
+    obs = theta_true @ A
+    order, dists = ranking.ranking_pls(
+        jnp.asarray(mets), jnp.asarray(theta), jnp.asarray(obs), 0.5
+    )
+    best = np.asarray(order)[:30]
+    # the top-ranked particles should be near theta_true in parameter space
+    sel = theta[best]
+    err = np.linalg.norm(sel - theta_true, axis=1).mean()
+    base = np.linalg.norm(theta - theta_true, axis=1).mean()
+    assert err < base * 0.35
+
+
+def test_top_k_matches_argsort():
+    d = jnp.asarray(np.random.default_rng(3).normal(size=100))
+    full = np.asarray(stats.ordered(d))[:10]
+    topk = np.asarray(ranking.top_k_from_distances(d, 10))
+    np.testing.assert_array_equal(np.sort(full), np.sort(topk))
