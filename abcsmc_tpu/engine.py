@@ -224,6 +224,27 @@ class AbcSmc:
             self._particle_parameters.append(gen.params)
             self._particle_metrics.append(gen.metrics)
 
+            if self.config.projection_mode:
+                # projection: no filtering/weighting - the sweep itself is the
+                # product; retained ranks (if any) came from the source
+                # posterior (src/AbcSmc.cpp:341, 849-853)
+                if gen.has_posterior:
+                    self._predictive_prior.append(
+                        gen.predictive_prior_indices()
+                    )
+                else:
+                    self._predictive_prior.append(np.arange(gen.size))
+                self._doubled_variance.append(
+                    np.asarray(stats.doubled_variance(
+                        jnp.asarray(gen.params)
+                    ))
+                )
+                self._weights.append(
+                    np.full(len(self._predictive_prior[-1]),
+                            1.0 / len(self._predictive_prior[-1]))
+                )
+                continue
+
             if gen.has_posterior:
                 self._predictive_prior.append(gen.predictive_prior_indices())
             else:
