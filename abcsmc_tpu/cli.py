@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--all", action="store_true", dest="do_all")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--device", action="store_true",
+        help="run the full SMC loop on-device (fused sharded generations); "
+             "falls back to the host engine when not applicable",
+    )
     return ap
 
 
@@ -45,7 +50,9 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         abc = AbcSmc(args.config_file)
-        if args.do_all:
+        if args.device:
+            abc.run_device(seed, verbose=args.verbose)
+        elif args.do_all:
             # examples.h:76-93: per set, process + simulate the whole set,
             # then one final process pass
             for t in range(abc.config.num_smc_sets):

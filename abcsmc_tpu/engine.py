@@ -353,6 +353,122 @@ class AbcSmc:
         self.process_database(seed + self.config.num_smc_sets, verbose)
         return self
 
+    # ------------------------------------------------------------- device path
+    def run_device(self, seed: int = 0, mesh=None, verbose: bool = False):
+        """Fully on-device SMC run (fitting mode, device simulators): every
+        generation is one fused, mesh-sharded XLA program
+        (abcsmc_tpu.parallel.generation); results are mirrored into the run
+        store afterwards so the database is indistinguishable from a host run
+        (checkpoint/durability/R-vis parity).
+
+        Falls back to :meth:`run` when the configuration can't run on device
+        (projection mode, host simulators, sizes not divisible by the mesh).
+        """
+        from abcsmc_tpu.models.simulators import DeviceSimulator
+        from abcsmc_tpu.parallel.generation import ShardedGeneration
+        from abcsmc_tpu.parallel.mesh import particle_mesh
+
+        cfg = self.config
+        if mesh is None:
+            mesh = particle_mesh()
+        ndev = mesh.devices.size
+        device_ok = (
+            isinstance(self.simulator, DeviceSimulator)
+            and not cfg.projection_mode
+            and not self.par_set.pseudo_idx
+            and not self.par_set.posterior_idx
+            and all(
+                cfg.smc_size_at(t) % ndev == 0
+                for t in range(cfg.num_smc_sets)
+            )
+            and not self.storage.exists()
+        )
+        if not device_ok:
+            if verbose:
+                sys.stderr.write(
+                    "run_device: configuration not device-runnable, "
+                    "falling back to host engine\n"
+                )
+            return self.run(seed, verbose)
+
+        gen = ShardedGeneration(
+            self.par_set,
+            self.transform,
+            self.simulator,
+            self.obs,
+            mesh=mesh,
+            filter_type=cfg.filter,
+            noise_type=cfg.noise,
+            training_fraction=cfg.pls_training_fraction,
+            max_retries=cfg.max_retries,
+            dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+        )
+
+        key = self._key(seed)
+        key, k0 = jax.random.split(key)
+        n0 = cfg.smc_size_at(0)
+        params, seeds = gen.init_population(k0, n0)
+        state = None
+        results = []
+        pops = []
+        for t in range(cfg.num_smc_sets):
+            key, kt = jax.random.split(key)
+            n_next = cfg.smc_size_at(min(t + 1, cfg.num_smc_sets - 1))
+            res = gen.step(
+                kt, params, seeds, cfg.pred_prior_size_at(t), n_next, state
+            )
+            pops.append((np.asarray(params, np.float64),
+                         np.asarray(seeds, np.uint64),
+                         np.asarray(res.metrics, np.float64)))
+            results.append(res)
+            state = (
+                res.survivor_params, res.weights, res.doubled_variance
+            )
+            params, seeds = res.next_params, res.next_seeds
+
+        # ---- mirror into the run store (schema parity) ----
+        self.storage.create(
+            self.par_set.short_names(),
+            [m.short_name for m in self.metrics],
+            self.transform.has_any,
+        )
+        self._particle_parameters.clear()
+        self._particle_metrics.clear()
+        self._weights.clear()
+        self._predictive_prior.clear()
+        self._doubled_variance.clear()
+        for t, (res, (pars_np, seeds_np, mets_np)) in enumerate(
+            zip(results, pops)
+        ):
+            upars = (
+                np.asarray(self.transform.to_model_space(pars_np), np.float64)
+                if self.transform.has_any else None
+            )
+            serials = self.storage.insert_generation(
+                t, pars_np, seeds_np, upars
+            )
+            n = len(serials)
+            self.storage.write_results(
+                serials, mets_np,
+                np.full(n, int(time.time())), np.zeros(n),
+            )
+            surv = np.asarray(res.survivor_idx, np.int64)
+            self.storage.write_posterior_ranks(
+                serials[surv], np.arange(len(surv))
+            )
+            self._particle_parameters.append(pars_np)
+            self._particle_metrics.append(mets_np)
+            self._predictive_prior.append(surv)
+            self._weights.append(np.asarray(res.weights, np.float64))
+            self._doubled_variance.append(
+                np.asarray(res.doubled_variance, np.float64)
+            )
+            reports.filtering_report(
+                self, t, pars_np[surv], mets_np[surv]
+            )
+        reports.report_convergence_data(self, cfg.num_smc_sets - 1)
+        return self
+
     # -- results ------------------------------------------------------------------
     def posterior(self, set_num: int = -1) -> tuple[np.ndarray, np.ndarray]:
         """(params, weights) of the predictive prior of a set (default last)."""
