@@ -64,15 +64,39 @@ def _prep_scaled(params, prev_params, prev_doubled_variance):
     return a, b, log_norm
 
 
-@partial(jax.jit, static_argnames=("block",))
 def log_kernel_mixture_density(
-    params, prev_params, prev_log_weights, prev_doubled_variance, block: int = 2048
+    params, prev_params, prev_log_weights, prev_doubled_variance,
+    block: int = 2048, backend: str = "auto",
 ):
     """log den_i = logsumexp_j [ log w'_j - 0.5 * sum_p (d_ijp^2 / dv_p) + C ].
 
-    Streams over j-blocks with an online logsumexp so peak memory is O(N * block)
-    and the inner product rides the MXU.
+    ``backend``: "pallas" uses the fused flash-style TPU kernel
+    (abcsmc_tpu.ops.pallas_kernels.mixture_logsumexp); "xla" streams j-blocks
+    through a lax.scan with an online logsumexp; "auto" picks pallas on TPU
+    f32 and xla elsewhere (f64 parity runs stay on xla).
     """
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        f32 = jnp.asarray(params).dtype == jnp.float32
+        backend = "pallas" if (on_tpu and f32) else "xla"
+    if backend == "pallas":
+        from abcsmc_tpu.ops.pallas_kernels import mixture_logsumexp
+
+        a, b, log_norm = _prep_scaled(
+            params, prev_params, prev_doubled_variance
+        )
+        return mixture_logsumexp(
+            a, b, jnp.asarray(prev_log_weights, a.dtype)
+        ) + log_norm
+    return _log_kernel_mixture_density_xla(
+        params, prev_params, prev_log_weights, prev_doubled_variance, block
+    )
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _log_kernel_mixture_density_xla(
+    params, prev_params, prev_log_weights, prev_doubled_variance, block: int = 2048
+):
     a, b, log_norm = _prep_scaled(params, prev_params, prev_doubled_variance)
     n, m = a.shape[0], b.shape[0]
     lw = jnp.asarray(prev_log_weights, a.dtype)
