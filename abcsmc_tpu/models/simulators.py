@@ -279,12 +279,32 @@ def make_sir_simulator(
     return DeviceSimulator(fn, nmet=6)
 
 
-#: Registry for the config-file "simulator" key (an extension over the reference,
-#: which only binds executables / shared objects from config).
-BUILTIN_SIMULATORS: dict[str, Callable[[], DeviceSimulator]] = {
-    "dice": make_dice_simulator,
-    "gaussian": make_gaussian_simulator,
-    "sir": make_sir_simulator,
+def make_linear_gaussian_simulator(
+    npar: int, nmet: int, noise_sd: float = 0.3, mix_seed: int = 7
+) -> DeviceSimulator:
+    """Linear-Gaussian surrogate: metrics = A @ params + noise, with a fixed
+    random mixing matrix A. Stands in for expensive transmission models in
+    scale tests (BASELINE.json configs[3], dengue-class shapes)."""
+    mix = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(mix_seed), (npar, nmet))
+    )
+
+    def fn(params, key):
+        a = jnp.asarray(mix, params.dtype)
+        eps = noise_sd * jax.random.normal(key, (nmet,), params.dtype)
+        return params @ a + eps
+
+    return DeviceSimulator(fn, nmet=nmet)
+
+
+#: Registry for the config-file "simulator" key (an extension over the
+#: reference, which only binds executables / shared objects from config).
+#: Factories receive (npar, nmet) from the parsed config.
+BUILTIN_SIMULATORS: dict[str, Callable[[int, int], DeviceSimulator]] = {
+    "dice": lambda npar, nmet: make_dice_simulator(),
+    "gaussian": lambda npar, nmet: make_gaussian_simulator(),
+    "sir": lambda npar, nmet: make_sir_simulator(),
+    "linear_gaussian": make_linear_gaussian_simulator,
 }
 
 
@@ -298,7 +318,9 @@ def resolve_simulator(config, explicit: Simulator | None = None) -> Simulator | 
             raise SimulatorError(
                 f"unknown builtin simulator {config.simulator_name!r}"
             )
-        return BUILTIN_SIMULATORS[config.simulator_name]()
+        return BUILTIN_SIMULATORS[config.simulator_name](
+            config.npar, config.nmet
+        )
     if config.shared:
         return SharedLibSimulator(config.shared, config.nmet)
     if config.executable:

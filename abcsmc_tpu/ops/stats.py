@@ -125,6 +125,61 @@ def ordered(values):
     return jnp.argsort(jnp.asarray(values), stable=True)
 
 
+def logit(p):
+    """log(p / (1-p)) (AbcUtil.h:45)."""
+    p = jnp.asarray(p)
+    return jnp.log(p / (1.0 - p))
+
+
+def logistic(x):
+    """1 / (1 + exp(-x)) (AbcUtil.h:46)."""
+    return 1.0 / (1.0 + jnp.exp(-jnp.asarray(x)))
+
+
+def ranks(values):
+    """Rank of each element in ascending order (lib/ranker.h `rank`):
+    ranks[i] = position of values[i] in the sorted order."""
+    order = jnp.argsort(jnp.asarray(values), stable=True)
+    return jnp.argsort(order, stable=True)
+
+
+class RunningStat:
+    """Welford online mean/variance (include/AbcSmc/RunningStat.h:16-50),
+    kept for API parity; vectorized code should use doubled_variance()."""
+
+    def __init__(self):
+        self._n = 0
+        self._mean = 0.0
+        self._s = 0.0
+
+    def clear(self):
+        self.__init__()
+
+    def push(self, x):
+        import numpy as _np
+        for v in _np.atleast_1d(_np.asarray(x, _np.float64)).ravel():
+            self._n += 1
+            if self._n == 1:
+                self._mean, self._s = float(v), 0.0
+            else:
+                old = self._mean
+                self._mean = old + (v - old) / self._n
+                self._s = self._s + (v - old) * (v - self._mean)
+
+    def num_data_values(self) -> int:
+        return self._n
+
+    def mean(self) -> float:
+        return self._mean if self._n > 0 else 0.0
+
+    def variance(self) -> float:
+        return self._s / (self._n - 1) if self._n > 1 else 0.0
+
+    def standard_deviation(self) -> float:
+        import math
+        return math.sqrt(self.variance())
+
+
 def mle_covariance(params, ddof: int = 1):
     """Variance-covariance matrix of the rows (src/AbcUtil.cpp:462-488).
 

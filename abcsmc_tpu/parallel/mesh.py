@@ -31,3 +31,23 @@ def particle_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Multi-host initialization (replaces the reference's MPI_Init): call once
+    per host before building the mesh; jax.distributed wires the hosts and
+    jax.devices() then spans the whole slice/pod. No-op if already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
