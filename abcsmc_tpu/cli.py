@@ -38,7 +38,42 @@ def build_argparser() -> argparse.ArgumentParser:
         help="run the full SMC loop on-device (fused sharded generations); "
              "falls back to the host engine when not applicable",
     )
+    ap.add_argument(
+        "--serial", type=int, default=-1,
+        help="re-simulate the particle with this serial "
+             "(simulate_particle_by_serial parity)",
+    )
+    ap.add_argument(
+        "--posterior", type=int, default=-1,
+        help="simulate the particle with this posterior rank in the latest "
+             "ranked set (simulate_particle_by_posterior_idx parity)",
+    )
+    ap.add_argument(
+        "--profile-dir", default="",
+        help="write a jax profiler trace of the run to this directory",
+    )
+    ap.add_argument(
+        "--workers", type=int, default=1,
+        help="run external-executable simulations through the native "
+             "parallel worker pool with this many processes",
+    )
     return ap
+
+
+def _simulate(abc, args, n):
+    if (
+        args.workers > 1
+        and abc.config.executable
+        and abc.config.database_filename
+    ):
+        from abcsmc_tpu.native import run_workers
+
+        run_workers(
+            abc.config.database_filename, abc.config.executable,
+            n_jobs=n, n_workers=args.workers, verbose=args.verbose,
+        )
+    else:
+        abc.simulate_next_particles(n)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -50,7 +85,14 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         abc = AbcSmc(args.config_file)
-        if args.device:
+        if args.profile_dir:
+            import jax
+            jax.profiler.start_trace(args.profile_dir)
+        if args.serial > -1:
+            abc.simulate_particle_by_serial(args.serial)
+        elif args.posterior > -1:
+            abc.simulate_particle_by_posterior_idx(args.posterior)
+        elif args.device:
             abc.run_device(seed, verbose=args.verbose)
         elif args.do_all:
             # examples.h:76-93: per set, process + simulate the whole set,
@@ -59,17 +101,27 @@ def main(argv: list[str] | None = None) -> int:
                 if args.process_db:
                     abc.process_database(seed + t, args.verbose)
                 if args.simulate_db:
-                    abc.simulate_next_particles(n=-1)
+                    _simulate(abc, args, -1)
             if args.process_db:
                 abc.process_database(seed + abc.config.num_smc_sets, args.verbose)
         else:
             if args.process_db:
                 abc.process_database(seed, args.verbose)
             if args.simulate_db:
-                abc.simulate_next_particles(args.buffer_size)
+                _simulate(abc, args, args.buffer_size)
     except AbcError as e:
         sys.stderr.write(f"{e}\n")
         return -(e.code or 1) if e.code and e.code < 0 else (e.code or 1)
+    finally:
+        if args.profile_dir:
+            import jax
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+    if args.verbose and abc.timings:
+        for row in abc.timings:
+            sys.stderr.write(f"[timing] {row}\n")
     return 0
 
 

@@ -78,6 +78,10 @@ class AbcSmc:
             self._posterior_matrix = src.read_posterior_matrix(post_names)
             src.close()
 
+        #: per-call stage timings (the reference only records per-job
+        #: startTime/duration in the job table; kept, plus these)
+        self.timings: list[dict] = []
+
         # per-set state, exactly the reference's members (AbcSmc.h:166-174)
         self._particle_parameters: list[np.ndarray] = []
         self._particle_metrics: list[np.ndarray] = []
@@ -149,7 +153,9 @@ class AbcSmc:
         self._predictive_prior.clear()
         self._doubled_variance.clear()
 
+        t0 = time.perf_counter()
         gens = self._read_smc_sets()
+        t_read = time.perf_counter() - t0
         if gens is None:
             return False
         next_set = len(gens)
@@ -158,6 +164,7 @@ class AbcSmc:
         reports.report_convergence_data(self, last_set)
         sys.stderr.write("\n\n")
 
+        t0 = time.perf_counter()
         if self.config.num_smc_sets > next_set:
             key = self._key(seed)
             k_noise, k_seed = jax.random.split(key)
@@ -201,6 +208,11 @@ class AbcSmc:
                 f"Database already contains {self.config.num_smc_sets} "
                 "complete sets.\n"
             )
+        self.timings.append({
+            "op": "process", "sets": next_set,
+            "read_rank_weight_s": round(t_read, 4),
+            "propose_s": round(time.perf_counter() - t0, 4),
+        })
         return True
 
     def _read_smc_sets(self):
@@ -312,13 +324,17 @@ class AbcSmc:
                 "simulator not set (no executable/shared/builtin binding)",
                 code=-211,
             )
+        t0 = time.perf_counter()
         claimed = self.storage.claim_jobs(n, serial_req, posterior_req)
+        t_claim = time.perf_counter() - t0
         if claimed.serials.size == 0:
             return True
         start = time.time()
+        t0 = time.perf_counter()
         mets = self.simulator.run_batch(
             claimed.params, claimed.seeds, claimed.serials
         )
+        t_sim = time.perf_counter() - t0
         if mets.shape[1] != self.nmet:
             # reference exits -211 (src/AbcSmc.cpp:683-687, 1014)
             raise SimulatorError(
@@ -326,14 +342,19 @@ class AbcSmc:
                 f"expected {self.nmet}, received {mets.shape[1]}",
                 code=-211,
             )
-        dur = time.time() - start
         nrun = len(claimed.serials)
+        t0 = time.perf_counter()
         self.storage.write_results(
             claimed.serials,
             mets,
             np.full(nrun, int(start)),
-            np.full(nrun, dur / max(nrun, 1)),
+            np.full(nrun, t_sim / max(nrun, 1)),
         )
+        self.timings.append({
+            "op": "simulate", "n": nrun, "claim_s": round(t_claim, 4),
+            "sim_s": round(t_sim, 4),
+            "writeback_s": round(time.perf_counter() - t0, 4),
+        })
         return True
 
     def simulate_particle_by_serial(self, serial_req: int) -> bool:
@@ -470,6 +491,25 @@ class AbcSmc:
         return self
 
     # -- results ------------------------------------------------------------------
+    def checkpoint(self, path: str):
+        """Write the (in-memory) run store to a reference-schema SQLite file.
+        For SQLite-backed runs the database already *is* the checkpoint."""
+        from abcsmc_tpu.storage.memstore import MemoryStorage
+
+        if isinstance(self.storage, MemoryStorage):
+            target = SQLiteStorage(path)
+            self.storage.snapshot_to(target)
+            target.close()
+        return path
+
+    def ess(self, set_num: int = -1) -> float:
+        """Effective sample size of a generation's importance weights,
+        (sum w)^2 / sum w^2 - a degeneracy diagnostic the reference lacks."""
+        if set_num == -1:
+            set_num = len(self._weights) - 1
+        w = self._weights[set_num]
+        return float(w.sum() ** 2 / (w**2).sum())
+
     def posterior(self, set_num: int = -1) -> tuple[np.ndarray, np.ndarray]:
         """(params, weights) of the predictive prior of a set (default last)."""
         if set_num == -1:

@@ -156,6 +156,64 @@ def fit_from_gram(xtx, xty, ncomp: int) -> PLSModel:
     return PLSModel(rotations=R, x_loadings=P, y_loadings=Q, ncomp=int(ncomp))
 
 
+def _sse_per_component(R, Q, x_val, y_val):
+    """[A, p] SSE of cumulative-component predictions on held-out rows."""
+    t_val = x_val @ R                                   # [nv, A]
+    contribs = t_val[:, :, None] * Q.T[None, :, :]      # [nv, A, p]
+    preds = jnp.cumsum(contribs, axis=1)
+    resid = y_val[:, None, :] - preds
+    return jnp.sum(resid * resid, axis=0)
+
+
+@partial(jax.jit, static_argnames=("ncomp",))
+def cv_loo(x, y, ncomp: int):
+    """Leave-one-out validation error matrix [A, p] (upstream PLS 'LOO').
+
+    Each held-out fit is a rank-1 *downdate* of the full Gram matrices
+    (X'X - x_i x_i', X'Y - x_i y_i'), so the n refits are n tiny fits vmapped
+    on device rather than n passes over the data."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    xtx = x.T @ x
+    xty = x.T @ y
+
+    def one(xi, yi):
+        R, _, Q = _fit_gram(
+            xtx - jnp.outer(xi, xi), xty - jnp.outer(xi, yi), ncomp
+        )
+        return _sse_per_component(R, Q, xi[None, :], yi[None, :])
+
+    return jnp.sum(jax.vmap(one)(x, y), axis=0)
+
+
+@partial(jax.jit, static_argnames=("ncomp", "num_splits"))
+def cv_lso(x, y, ncomp: int, key, num_splits: int = 10,
+           test_fraction: float = 0.3):
+    """Leave-some-out (random-split) validation error matrix [A, p]
+    (upstream PLS 'LSO'): ``num_splits`` random train/test partitions, each
+    fitted via a masked Gram downdate and scored on its held-out rows."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    n = x.shape[0]
+    xtx = x.T @ x
+    xty = x.T @ y
+
+    def one(k):
+        test = jax.random.bernoulli(k, test_fraction, (n,))
+        tmask = test.astype(x.dtype)[:, None]
+        xt = x * tmask
+        yt = y * tmask
+        R, _, Q = _fit_gram(xtx - xt.T @ xt, xty - xt.T @ yt, ncomp)
+        return _sse_per_component(R, Q, xt, yt)
+
+    keys = jax.random.split(key, num_splits)
+    return jnp.sum(jax.vmap(one)(keys), axis=0)
+
+
 def optimal_num_components(error_matrix, rel_tol: float = 0.1) -> jnp.ndarray:
     """Per-response optimal component counts (1-based) from a validation error
     matrix [A x p] (reference PLS::optimal_num_components; the call site takes

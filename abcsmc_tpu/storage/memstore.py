@@ -148,3 +148,37 @@ class MemoryStorage(Storage):
                 self.status[i] = "D"
                 written += 1
         return written
+
+    # -- durability -----------------------------------------------------------------
+    def snapshot_to(self, other: Storage):
+        """Dump this in-memory run into another store (e.g. SQLite for
+        durability / R-vis compatibility). The target must be empty."""
+        other.create(self.par_names, self.met_names, self.has_upar)
+        gens = self.read_generations()
+        for gen in gens:
+            idx = [int(s) for s in gen.serials]
+            upars = (
+                np.stack([self.upars[i] for i in idx])
+                if self.has_upar else None
+            )
+            serials = other.insert_generation(
+                gen.set_num,
+                gen.params,
+                gen.seeds,
+                upars,
+            )
+            done = gen.statuses == "D"
+            if done.any():
+                other.write_results(
+                    serials[done], gen.metrics[done],
+                    np.asarray([self.start_time[i] for i in idx])[done],
+                    np.nan_to_num(
+                        np.asarray([self.duration[i] for i in idx])[done]
+                    ),
+                )
+            ranked = gen.posterior_ranks > -1
+            if ranked.any():
+                other.write_posterior_ranks(
+                    serials[ranked], gen.posterior_ranks[ranked]
+                )
+        return other

@@ -1,0 +1,109 @@
+"""Checkpointing (memstore -> SQLite snapshot), ESS diagnostic, CLI worker
+pool flag, and simulator failure modes."""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from abcsmc_tpu.engine import AbcSmc
+from abcsmc_tpu.errors import SimulatorError
+from abcsmc_tpu.models.simulators import PySimulator, make_dice_simulator
+from abcsmc_tpu.storage import MemoryStorage, SQLiteStorage
+
+
+def cfg(n=40, iters=2, **kw):
+    c = {
+        "smc_iterations": iters,
+        "num_samples": n,
+        "predictive_prior_size": 10,
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 30},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 30},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+    }
+    c.update(kw)
+    return c
+
+
+def test_checkpoint_snapshot_roundtrip(tmp_path):
+    abc = AbcSmc(cfg(), simulator=make_dice_simulator(max_dice=30),
+                 storage=MemoryStorage())
+    abc.run(seed=2)
+    path = str(tmp_path / "ckpt.sqlite")
+    abc.checkpoint(path)
+
+    conn = sqlite3.connect(path)
+    sets = conn.execute(
+        "select smcSet, count(*), sum(status='D'), sum(posterior > -1) "
+        "from job group by smcSet"
+    ).fetchall()
+    assert sets == [(0, 40, 40, 10), (1, 40, 40, 10)]
+    conn.close()
+
+    # the snapshot is a live checkpoint: a fresh engine resumes from it
+    c2 = cfg(iters=3, database_filename=path)
+    abc2 = AbcSmc(c2, simulator=make_dice_simulator(max_dice=30))
+    assert abc2.process_database(seed=5) is True  # proposes set 2
+    abc2.simulate_next_particles(n=-1)
+    abc2.process_database(seed=6)
+    pars, _ = abc2.posterior()
+    assert pars.shape == (10, 2)
+
+
+def test_ess_diagnostic():
+    abc = AbcSmc(cfg(), simulator=make_dice_simulator(max_dice=30),
+                 storage=MemoryStorage())
+    abc.run(seed=3)
+    # gen 0 uniform weights -> ESS == K
+    assert abc.ess(0) == pytest.approx(10.0)
+    assert 1.0 <= abc.ess(1) <= 10.0
+
+
+def test_metric_count_mismatch_raises_211():
+    abc = AbcSmc(
+        cfg(iters=1),
+        simulator=PySimulator(lambda p, s, ser: [1.0, 2.0, 3.0]),  # 3 != 2
+        storage=MemoryStorage(),
+    )
+    abc.build_database(seed=0)
+    with pytest.raises(SimulatorError) as ei:
+        abc.simulate_next_particles(n=4)
+    assert ei.value.code == -211
+
+
+def test_cli_workers_flag(tmp_path):
+    import stat
+    from abcsmc_tpu.cli import main
+
+    script = tmp_path / "sim.py"
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, os, random, statistics\n"
+        "n = int(float(sys.argv[1])); m = int(float(sys.argv[2]))\n"
+        "random.seed(int(os.environ.get('ABC_RNG_SEED', 0)))\n"
+        "rolls = [random.randint(1, max(m,1)) for _ in range(max(n,1))]\n"
+        "print(sum(rolls), statistics.stdev(rolls) if len(rolls)>1 else 0.0)\n"
+    )
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    db = str(tmp_path / "w.sqlite")
+    import json
+    c = cfg(n=16, iters=1, database_filename=db,
+            executable=f"python3 {script}")
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps(c))
+
+    assert main([str(cfg_path), "--process", "--seed", "1"]) == 0
+    assert main([str(cfg_path), "--simulate", "-n", "-1",
+                 "--workers", "3", "--seed", "1"]) == 0
+    conn = sqlite3.connect(db)
+    assert conn.execute(
+        "select count(*) from job where status = 'D'"
+    ).fetchone()[0] == 16
+    conn.close()

@@ -138,3 +138,33 @@ def test_single_response_path():
     pred = np.asarray(model.predict(jnp.asarray(X)))
     resid = ((Y - pred) ** 2).mean()
     assert resid < 0.1
+
+
+def test_cv_loo_downdate_equals_explicit_refit():
+    X, Y = make_problem(n=60, m=5, p=2, seed=31)
+    # explicit: refit without row 0, score on row 0
+    m_wo = pls.fit(jnp.asarray(X[1:]), jnp.asarray(Y[1:]), ncomp=3)
+    em_explicit = np.asarray(m_wo.cv_new_data(jnp.asarray(X[:1]),
+                                              jnp.asarray(Y[:1])))
+    # downdate path: total LOO matrix minus the contributions of rows 1..n-1
+    em_all = np.asarray(pls.cv_loo(jnp.asarray(X), jnp.asarray(Y), 3))
+    contrib = []
+    for i in range(len(X)):
+        mi = pls.fit(jnp.asarray(np.delete(X, i, 0)),
+                     jnp.asarray(np.delete(Y, i, 0)), ncomp=3)
+        contrib.append(np.asarray(mi.cv_new_data(
+            jnp.asarray(X[i:i+1]), jnp.asarray(Y[i:i+1]))))
+    np.testing.assert_allclose(em_all, np.sum(contrib, 0), rtol=1e-6,
+                               atol=1e-9)
+    np.testing.assert_allclose(contrib[0], em_explicit, rtol=1e-8)
+
+
+def test_cv_lso_selects_sensible_components():
+    import jax
+    X, Y = make_problem(n=200, m=8, p=3, seed=33, noise=0.3)
+    em = np.asarray(pls.cv_lso(jnp.asarray(X), jnp.asarray(Y), 6,
+                               jax.random.PRNGKey(0)))
+    assert em.shape == (6, 3)
+    assert np.all(em[0] > em[-1])  # more components help up to the truth
+    best = np.asarray(pls.optimal_num_components(jnp.asarray(em)))
+    assert np.all(best >= 1) and np.all(best <= 6)
