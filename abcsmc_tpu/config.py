@@ -27,6 +27,8 @@ Extensions over the reference (all optional, defaulted to reference behavior):
   ``simulator``    name of a built-in device simulator (e.g. "dice", "sir")
   ``max_retries``  bound on truncated-sampling rejection loops (default 1000,
                    matching Priors.h:19-33 MAX_ATTEMPTS)
+  ``box_cox``      skewness-minimizing Box-Cox transform of metrics before PLS
+                   ranking (the reference's TODO at src/AbcUtil.cpp:430)
 """
 
 from __future__ import annotations
@@ -143,6 +145,7 @@ class SmcConfig:
     retain_posterior_rank: bool = False
     resume_directory: str = ""
     max_retries: int = 1000
+    box_cox: bool = False
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -493,6 +496,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         retain_posterior_rank=retain_posterior_rank,
         resume_directory=par.get("resume_directory", ""),
         max_retries=int(par.get("max_retries", 1000)),
+        box_cox=bool(par.get("box_cox", False)),
         projection_mode=projection,
         raw=par,
     )

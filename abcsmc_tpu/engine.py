@@ -278,6 +278,7 @@ class AbcSmc:
             order, _ = ranking.ranking_pls(
                 jnp.asarray(mets), jnp.asarray(pars), jnp.asarray(self.obs),
                 self.config.pls_training_fraction,
+                box_cox=self.config.box_cox,
             )
         else:
             order, _ = ranking.ranking_simple(

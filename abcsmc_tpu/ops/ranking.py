@@ -25,6 +25,36 @@ from abcsmc_tpu.ops import pls as pls_mod
 from abcsmc_tpu.ops import stats
 
 
+def apply_box_cox(metric_vals, obs_row):
+    """Per-column Box-Cox transform of metrics + observed row, choosing each
+    lambda by skewness minimization (stats.optimize_box_cox). The reference
+    left this as a TODO inside particle_ranking_PLS (src/AbcUtil.cpp:430);
+    enabled via the config extension ``"box_cox": true``. Columns are shifted
+    to positivity first (Box-Cox requires positive data)."""
+    x = jnp.asarray(metric_vals)
+    obs = jnp.asarray(obs_row)
+    cols = []
+    obs_out = []
+    for j in range(x.shape[1]):
+        col = x[:, j]
+        o = obs[j]
+        mn = jnp.minimum(jnp.min(col), o)
+        shift = jnp.where(mn <= 0, 1e-6 - mn, 0.0)
+        lam = stats.optimize_box_cox(col + shift)
+
+        def tr(v):
+            return jnp.where(
+                lam == 0,
+                jnp.log(v + shift),
+                (jnp.power(v + shift, lam) - 1.0)
+                / jnp.where(lam == 0, 1.0, lam),
+            )
+
+        cols.append(tr(col))
+        obs_out.append(tr(o))
+    return jnp.stack(cols, axis=1), jnp.stack(obs_out)
+
+
 def ranking_simple(metric_vals, obs_row):
     """Full ascending order of particles by z-scored metric distance."""
     x = jnp.asarray(metric_vals)
@@ -67,11 +97,13 @@ def pls_scores_for_ranking(
 
 def ranking_pls(
     metric_vals, param_vals, obs_row, training_fraction: float,
-    max_components: int | None = None,
+    max_components: int | None = None, box_cox: bool = False,
 ):
     """Full ascending order of particles by PLS-score distance
     (src/AbcUtil.cpp:423-458)."""
     assert 0.0 < training_fraction <= 1.0
+    if box_cox:
+        metric_vals, obs_row = apply_box_cox(metric_vals, obs_row)
     sim_scores, obs_scores, ncomp = pls_scores_for_ranking(
         metric_vals, param_vals, obs_row, training_fraction, max_components
     )

@@ -88,3 +88,26 @@ def test_top_k_matches_argsort():
     full = np.asarray(stats.ordered(d))[:10]
     topk = np.asarray(ranking.top_k_from_distances(d, 10))
     np.testing.assert_array_equal(np.sort(full), np.sort(topk))
+
+
+def test_box_cox_ranking_option():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    n = 200
+    theta = rng.uniform(0.5, 2.0, size=(n, 2))
+    # heavily skewed metrics: exp of linear images
+    mets = np.exp(theta @ rng.normal(size=(2, 4)))
+    obs = np.exp(np.array([1.0, -1.0]) @ rng.normal(size=(2, 4)))
+    o1, _ = ranking.ranking_pls(
+        jnp.asarray(mets), jnp.asarray(theta), jnp.asarray(obs), 0.5,
+        box_cox=True,
+    )
+    assert len(np.unique(np.asarray(o1))) == n  # a valid permutation
+
+    xt, ot = ranking.apply_box_cox(jnp.asarray(mets), jnp.asarray(obs))
+    from abcsmc_tpu.ops import stats as S
+    # transform reduces skewness substantially
+    for j in range(4):
+        before = abs(float(S.skewness(jnp.asarray(mets[:, j]))))
+        after = abs(float(S.skewness(xt[:, j])))
+        assert after <= before + 1e-6
