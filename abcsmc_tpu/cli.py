@@ -77,6 +77,8 @@ def _simulate(abc, args, n):
 
 
 def main(argv: list[str] | None = None) -> int:
+    from abcsmc_tpu._cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_argparser().parse_args(argv)
     seed = args.seed
     if seed is None:

@@ -376,7 +376,10 @@ class AbcSmc:
         return self
 
     # ------------------------------------------------------------- device path
-    def run_device(self, seed: int = 0, mesh=None, verbose: bool = False):
+    def run_device(
+        self, seed: int = 0, mesh=None, verbose: bool = False,
+        mirror_store: bool = True,
+    ):
         """Fully on-device SMC run (fitting mode, device simulators): every
         generation is one fused, mesh-sharded XLA program
         (abcsmc_tpu.parallel.generation); results are mirrored into the run
@@ -449,11 +452,12 @@ class AbcSmc:
             params, seeds = res.next_params, res.next_seeds
 
         # ---- mirror into the run store (schema parity) ----
-        self.storage.create(
-            self.par_set.short_names(),
-            [m.short_name for m in self.metrics],
-            self.transform.has_any,
-        )
+        if mirror_store:
+            self.storage.create(
+                self.par_set.short_names(),
+                [m.short_name for m in self.metrics],
+                self.transform.has_any,
+            )
         self._particle_parameters.clear()
         self._particle_metrics.clear()
         self._weights.clear()
@@ -462,22 +466,25 @@ class AbcSmc:
         for t, (res, (pars_np, seeds_np, mets_np)) in enumerate(
             zip(results, pops)
         ):
-            upars = (
-                np.asarray(self.transform.to_model_space(pars_np), np.float64)
-                if self.transform.has_any else None
-            )
-            serials = self.storage.insert_generation(
-                t, pars_np, seeds_np, upars
-            )
-            n = len(serials)
-            self.storage.write_results(
-                serials, mets_np,
-                np.full(n, int(time.time())), np.zeros(n),
-            )
             surv = np.asarray(res.survivor_idx, np.int64)
-            self.storage.write_posterior_ranks(
-                serials[surv], np.arange(len(surv))
-            )
+            if mirror_store:
+                upars = (
+                    np.asarray(
+                        self.transform.to_model_space(pars_np), np.float64
+                    )
+                    if self.transform.has_any else None
+                )
+                serials = self.storage.insert_generation(
+                    t, pars_np, seeds_np, upars
+                )
+                n = len(serials)
+                self.storage.write_results(
+                    serials, mets_np,
+                    np.full(n, int(time.time())), np.zeros(n),
+                )
+                self.storage.write_posterior_ranks(
+                    serials[surv], np.arange(len(surv))
+                )
             self._particle_parameters.append(pars_np)
             self._particle_metrics.append(mets_np)
             self._predictive_prior.append(surv)

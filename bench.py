@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from abcsmc_tpu._cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 N = 1_000_000          # particles per generation
 KEEP = 50_000          # predictive prior (fraction 0.05)
 NPAR = 6
