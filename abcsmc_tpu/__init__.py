@@ -39,7 +39,14 @@ from abcsmc_tpu.models.simulators import (
     PySimulator,
     ExecSimulator,
     SharedLibSimulator,
+    BUILTIN_SIMULATORS,
+    make_dice_simulator,
+    make_gaussian_simulator,
+    make_sir_simulator,
+    make_linear_gaussian_simulator,
 )
+from abcsmc_tpu.parallel import ShardedGeneration, particle_mesh
+from abcsmc_tpu.storage import MemoryStorage, SQLiteStorage
 
 __version__ = "0.1.0"
 
@@ -61,4 +68,13 @@ __all__ = [
     "PySimulator",
     "ExecSimulator",
     "SharedLibSimulator",
+    "BUILTIN_SIMULATORS",
+    "make_dice_simulator",
+    "make_gaussian_simulator",
+    "make_sir_simulator",
+    "make_linear_gaussian_simulator",
+    "ShardedGeneration",
+    "particle_mesh",
+    "MemoryStorage",
+    "SQLiteStorage",
 ]

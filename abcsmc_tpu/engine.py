@@ -89,6 +89,47 @@ class AbcSmc:
         self._weights: list[np.ndarray] = []
         self._doubled_variance: list[np.ndarray] = []
 
+    # ------------------------------------------------------------------ direct
+    @classmethod
+    def direct(
+        cls,
+        parameters: list[dict],
+        metrics: list[dict],
+        num_samples,
+        smc_iterations: int | None = None,
+        predictive_prior_fraction=None,
+        predictive_prior_size=None,
+        pls_training_fraction: float = 0.5,
+        noise: str = "INDEPENDENT",
+        database_filename: str = "",
+        simulator: Simulator | None = None,
+        storage: Storage | None = None,
+        **extra,
+    ) -> "AbcSmc":
+        """Programmatic construction without a config file - the reference's
+        'direct' example surface (examples/direct/main.cpp: add_next_parameter
+        / add_next_metric / set_smc_iterations / set_num_samples / ...).
+
+        ``parameters`` and ``metrics`` take the same dicts as the JSON schema.
+        """
+        cfg: dict = {
+            "parameters": parameters,
+            "metrics": metrics,
+            "num_samples": num_samples,
+            "pls_training_fraction": pls_training_fraction,
+            "noise": noise,
+            **extra,
+        }
+        if smc_iterations is not None:
+            cfg["smc_iterations"] = smc_iterations
+        if predictive_prior_fraction is not None:
+            cfg["predictive_prior_fraction"] = predictive_prior_fraction
+        if predictive_prior_size is not None:
+            cfg["predictive_prior_size"] = predictive_prior_size
+        if database_filename:
+            cfg["database_filename"] = database_filename
+        return cls(cfg, simulator=simulator, storage=storage)
+
     # ------------------------------------------------------------------ utils
     @property
     def npar(self) -> int:

@@ -36,10 +36,12 @@ from abcsmc_tpu.parallel.mesh import PARTICLE_AXIS
 AXIS = PARTICLE_AXIS
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class GenerationResult:
     """Outputs of one sharded generation step. Arrays tagged [sharded] are laid
-    out over the particle axis of the mesh; the rest are replicated."""
+    out over the particle axis of the mesh; the rest are replicated.
+    Registered as a pytree, so it flows through jit/tree utilities."""
 
     metrics: jax.Array          # [N, M]  [sharded] simulated metrics
     distances: jax.Array        # [N]     [sharded] ranking distances

@@ -107,3 +107,28 @@ def test_cli_workers_flag(tmp_path):
         "select count(*) from job where status = 'D'"
     ).fetchone()[0] == 16
     conn.close()
+
+
+def test_direct_api_construction():
+    """Reference examples/direct/main.cpp surface: build without a config
+    file."""
+    abc = AbcSmc.direct(
+        parameters=[
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 100},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 100},
+        ],
+        metrics=[
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+        num_samples=100,
+        smc_iterations=2,
+        predictive_prior_fraction=0.1,
+        simulator=make_dice_simulator(max_dice=100),
+        storage=MemoryStorage(),
+    )
+    abc.run(seed=9)
+    pars, _ = abc.posterior()
+    assert pars.shape == (10, 2)
