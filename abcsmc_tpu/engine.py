@@ -384,6 +384,15 @@ class AbcSmc:
                 f"expected {self.nmet}, received {mets.shape[1]}",
                 code=-211,
             )
+        if not np.isfinite(mets).all():
+            # non-finite metric bandaid (src/AbcMPI.cpp:81-94: overwrite the
+            # offending row's metrics with DBL_MIN)
+            bad = ~np.isfinite(mets).all(axis=1)
+            sys.stderr.write(
+                f"WARNING: {int(bad.sum())} particle(s) returned non-finite "
+                "metrics; overwriting with DBL_MIN\n"
+            )
+            mets[bad] = np.finfo(np.float64).tiny
         nrun = len(claimed.serials)
         t0 = time.perf_counter()
         self.storage.write_results(

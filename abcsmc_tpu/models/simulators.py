@@ -279,6 +279,40 @@ def make_sir_simulator(
     return DeviceSimulator(fn, nmet=6)
 
 
+class HostBridgeSimulator(DeviceSimulator):
+    """Bridges a host-side *batched* python simulator into jitted/sharded
+    device programs via ``io_callback`` (SURVEY build plan layer 6b): the
+    fused generation step pauses, ships the shard-local parameter block to the
+    host, runs the black-box function, and resumes with its metrics.
+
+    ``fn(params[n, P] np.ndarray, seeds[n] np.ndarray) -> metrics[n, M]``.
+    Use for legacy simulators that can't be expressed in JAX but are cheap
+    enough that host round-trips don't dominate; otherwise use the queue path
+    (storage + native pool)."""
+
+    def __init__(self, fn: Callable, nmet: int):
+        self.host_fn = fn
+        self.nmet = nmet
+
+    def batch_fn(self, params, seeds):
+        from jax.experimental import io_callback
+
+        out = jax.ShapeDtypeStruct((params.shape[0], self.nmet), params.dtype)
+
+        def cb(p, s):
+            p = np.asarray(p)
+            mets = np.asarray(self.host_fn(p, np.asarray(s)))
+            return mets.astype(p.dtype)
+
+        return io_callback(cb, out, params, seeds, ordered=False)
+
+    def run_batch(self, params, seeds, serials):
+        return np.asarray(
+            self.host_fn(np.asarray(params, np.float64), np.asarray(seeds)),
+            np.float64,
+        )
+
+
 def make_linear_gaussian_simulator(
     npar: int, nmet: int, noise_sd: float = 0.3, mix_seed: int = 7
 ) -> DeviceSimulator:

@@ -55,11 +55,18 @@ def apply_box_cox(metric_vals, obs_row):
     return jnp.stack(cols, axis=1), jnp.stack(obs_out)
 
 
+def _guard_sd(sds):
+    """Zero-variance metric columns would NaN every distance in the reference
+    (plain division, src/AbcUtil.cpp:412-416); consciously fixed here by
+    treating a constant column as unit-scale."""
+    return jnp.where(sds == 0, 1.0, sds)
+
+
 def ranking_simple(metric_vals, obs_row):
     """Full ascending order of particles by z-scored metric distance."""
     x = jnp.asarray(metric_vals)
     means = jnp.mean(x, axis=0)
-    sds = stats.colwise_stdev(x, means)
+    sds = _guard_sd(stats.colwise_stdev(x, means))
     z = (x - means[None, :]) / sds[None, :]
     obs = (jnp.asarray(obs_row) - means) / sds
     dists = stats.euclidean(z, obs)
@@ -77,9 +84,11 @@ def pls_scores_for_ranking(
     n = x.shape[0]
 
     met_means = jnp.mean(x, axis=0)
-    met_sds = stats.colwise_stdev(x, met_means)
+    met_sds = _guard_sd(stats.colwise_stdev(x, met_means))
     z_met = (x - met_means[None, :]) / met_sds[None, :]
-    z_par = stats.colwise_z_scores(y)
+    par_means = jnp.mean(y, axis=0)
+    par_sds = _guard_sd(stats.colwise_stdev(y, par_means))
+    z_par = (y - par_means[None, :]) / par_sds[None, :]
     obs_met = (jnp.asarray(obs_row) - met_means) / met_sds
 
     # round() to nearest, matching C round (src/AbcUtil.cpp:438)
