@@ -65,6 +65,15 @@ class AbcSmc:
             self.storage = SQLiteStorage(config.database_filename)
         else:
             self.storage = MemoryStorage()
+        if hasattr(self.storage, "meta") and self.storage.meta is None:
+            import json as _json
+            from abcsmc_tpu import __version__
+
+            self.storage.meta = {
+                "framework": f"abcsmc-tpu {__version__}",
+                "created": int(time.time()),
+                "config": _json.dumps(config.raw) if config.raw else "",
+            }
 
         # POSTERIOR parameters source their values from a previous run's DB
         # (src/AbcSmc.cpp:385-396)

@@ -17,7 +17,6 @@ fuses into large batched XLA ops on the MXU/VPU.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax

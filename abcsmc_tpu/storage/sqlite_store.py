@@ -48,6 +48,8 @@ class SQLiteStorage(Storage):
         self.par_names: list[str] = []
         self.met_names: list[str] = []
         self.has_upar = False
+        #: optional provenance written into abc_meta at create()
+        self.meta: dict | None = None
         self._conn: sqlite3.Connection | None = None
         self._load_schema_if_present()
 
@@ -105,6 +107,18 @@ class SQLiteStorage(Storage):
             conn.execute(
                 f"create table {MET_TABLE} ( serial int primary key, {met_cols} )"
             )
+            # additive extension over the reference schema: run provenance
+            # (config, framework version, creation time); the reference
+            # tables and any tooling reading them are unaffected
+            conn.execute(
+                "create table if not exists abc_meta ( key text primary key, "
+                "value text )"
+            )
+            for k, v in (self.meta or {}).items():
+                conn.execute(
+                    "insert or replace into abc_meta values ( ?, ? )",
+                    (str(k), str(v)),
+                )
             conn.execute("COMMIT")
         except Exception:
             conn.execute("ROLLBACK")

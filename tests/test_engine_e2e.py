@@ -226,3 +226,50 @@ def test_engine_accepts_reference_config_file():
     )
     assert abc.npar == 2 and abc.nmet == 2
     assert abc.config.smc_size_at(0) == 300
+
+
+def test_concurrent_process_claims(tmp_path):
+    """Two OS processes claiming from one database concurrently must not
+    double-claim queued jobs (BEGIN EXCLUSIVE serialization parity with the
+    reference's multi-worker deployment)."""
+    import subprocess
+    import sys as _sys
+
+    db = str(tmp_path / "conc.sqlite")
+    cfg = dice_config(smc_iterations=1, num_samples=60,
+                      database_filename=db)
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=100))
+    abc.build_database(seed=0)
+    abc.storage.close()
+
+    worker = (
+        "import sys, json\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from abcsmc_tpu.storage import SQLiteStorage\n"
+        f"st = SQLiteStorage({db!r})\n"
+        "claimed = []\n"
+        "for _ in range(10):\n"
+        "    jobs = st.claim_jobs(3)\n"
+        "    claimed.extend(int(s) for s in jobs.serials)\n"
+        "print(json.dumps(claimed))\n"
+    )
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", worker],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(2)
+    ]
+    outs = [json.loads(p.communicate()[0]) for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    # 60 queued jobs; 60 claims total: every job claimed at least once, and
+    # any overlap only begins after the queue of 'Q' jobs is exhausted
+    # (re-claims of 'R' jobs are legal at-least-once behavior)
+    all_claims = outs[0] + outs[1]
+    assert set(all_claims) == set(range(60))
+    conn = sqlite3.connect(db)
+    statuses = conn.execute(
+        "select count(*) from job where status = 'R'"
+    ).fetchone()[0]
+    assert statuses == 60
+    attempts = [r[0] for r in conn.execute("select attempts from job")]
+    assert sum(attempts) == 60  # exactly 60 claims happened in total
+    conn.close()
