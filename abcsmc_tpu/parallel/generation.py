@@ -189,9 +189,12 @@ class ShardedGeneration:
             max_comp = min(max_comp, self.max_pls_components)
         max_comp = max(max_comp, 1)
         k_local = min(keep, local_n)
-        obs = jnp.asarray(self.obs, self.dtype)
+        # NB: closure constants stay as host numpy arrays - embedding a device
+        # array in a later trace forces a device fetch at compile time (and
+        # tunneled backends can fail it)
+        obs = np.asarray(self.obs, jax.dtypes.canonicalize_dtype(self.dtype))
         use_pls = self.filter_type == FilterType.PLS
-        eps = jnp.asarray(1e-30, self.dtype)
+        eps = float(1e-30)
 
         def local_step(key, params_l, second_l, prev_par, prev_w, prev_dv):
             shard = jax.lax.axis_index(AXIS)
