@@ -586,3 +586,31 @@ class AbcSmc:
             self._particle_parameters[set_num][surv],
             self._weights[set_num],
         )
+
+    def posterior_summary(
+        self, set_num: int = -1,
+        quantiles: tuple[float, ...] = (0.025, 0.25, 0.5, 0.75, 0.975),
+    ) -> dict:
+        """Weighted posterior summary per parameter: mean, sd, and weighted
+        quantiles (inverse-CDF over the weight distribution)."""
+        pars, w = self.posterior(set_num)
+        w = np.asarray(w, np.float64)
+        w = w / w.sum()
+        out = {}
+        for j, p in enumerate(self.par_set.params):
+            x = pars[:, j]
+            mean = float((x * w).sum())
+            var = float(((x - mean) ** 2 * w).sum())
+            order = np.argsort(x)
+            cw = np.cumsum(w[order])
+            qs = {
+                q: float(x[order][np.searchsorted(cw, q, side="left").clip(
+                    0, len(x) - 1)])
+                for q in quantiles
+            }
+            out[p.short_name] = {
+                "mean": mean, "sd": float(np.sqrt(var)), "quantiles": qs,
+                "ess": self.ess(set_num if set_num != -1
+                                else len(self._weights) - 1),
+            }
+        return out

@@ -18,3 +18,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+from abcsmc_tpu._cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

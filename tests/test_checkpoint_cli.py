@@ -132,3 +132,26 @@ def test_direct_api_construction():
     abc.run(seed=9)
     pars, _ = abc.posterior()
     assert pars.shape == (10, 2)
+
+
+def test_posterior_summary_and_compare(tmp_path):
+    from abcsmc_tpu import compare as C
+
+    db1 = str(tmp_path / "a.sqlite")
+    db2 = str(tmp_path / "b.sqlite")
+    for db, seed in ((db1, 1), (db2, 2)):
+        abc = AbcSmc(cfg(n=120, iters=3, database_filename=db),
+                     simulator=make_dice_simulator(max_dice=30))
+        abc.run(seed=seed)
+    summ = abc.posterior_summary()
+    assert set(summ) == {"ndice", "sides"}
+    s = summ["ndice"]
+    assert s["quantiles"][0.025] <= s["quantiles"][0.5] <= s["quantiles"][0.975]
+    assert 1 <= s["ess"] <= 10
+
+    res = C.compare(db1, db2)
+    assert set(res) == {"ndice", "sides"}
+    for v in res.values():
+        assert 0.0 <= v["ks"] <= 1.0
+        # two seeds of the same converging analysis should roughly agree
+        assert v["mean_diff_in_sd"] < 3.0
