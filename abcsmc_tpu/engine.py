@@ -448,7 +448,11 @@ class AbcSmc:
         Falls back to :meth:`run` when the configuration can't run on device
         (projection mode, host simulators, sizes not divisible by the mesh).
         """
-        from abcsmc_tpu.models.simulators import DeviceSimulator
+        from abcsmc_tpu.models.simulators import (
+            DeviceSimulator,
+            HostBridgeSimulator,
+            backend_supports_callbacks,
+        )
         from abcsmc_tpu.parallel.generation import ShardedGeneration
         from abcsmc_tpu.parallel.mesh import particle_mesh
 
@@ -458,6 +462,10 @@ class AbcSmc:
         ndev = mesh.devices.size
         device_ok = (
             isinstance(self.simulator, DeviceSimulator)
+            and (
+                not isinstance(self.simulator, HostBridgeSimulator)
+                or backend_supports_callbacks()
+            )
             and not cfg.projection_mode
             and not self.par_set.pseudo_idx
             and not self.par_set.posterior_idx
@@ -558,6 +566,16 @@ class AbcSmc:
         return self
 
     # -- results ------------------------------------------------------------------
+    @property
+    def particle_parameters(self) -> list[np.ndarray]:
+        """Per-set parameter matrices (AbcSmc::get_particle_parameters)."""
+        return self._particle_parameters
+
+    @property
+    def particle_metrics(self) -> list[np.ndarray]:
+        """Per-set metric matrices (AbcSmc::get_particle_metrics)."""
+        return self._particle_metrics
+
     def checkpoint(self, path: str):
         """Write the (in-memory) run store to a reference-schema SQLite file.
         For SQLite-backed runs the database already *is* the checkpoint."""

@@ -279,6 +279,28 @@ def make_sir_simulator(
     return DeviceSimulator(fn, nmet=6)
 
 
+_callback_support: dict[str, bool] = {}
+
+
+def backend_supports_callbacks() -> bool:
+    """Whether the default backend can run host callbacks (io_callback).
+    Standard CPU/TPU runtimes can; some remote/tunneled PJRT backends cannot
+    (e.g. 'axon_pjrt does not support host send/recv callbacks')."""
+    backend = jax.default_backend()
+    if backend not in _callback_support:
+        try:
+            from jax.experimental import io_callback
+
+            out = jax.ShapeDtypeStruct((), jnp.float32)
+            r = jax.jit(
+                lambda x: io_callback(lambda v: v, out, x)
+            )(jnp.float32(1.0))
+            _callback_support[backend] = bool(np.asarray(r) == 1.0)
+        except Exception:
+            _callback_support[backend] = False
+    return _callback_support[backend]
+
+
 class HostBridgeSimulator(DeviceSimulator):
     """Bridges a host-side *batched* python simulator into jitted/sharded
     device programs via ``io_callback`` (SURVEY build plan layer 6b): the

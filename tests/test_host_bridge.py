@@ -40,6 +40,10 @@ def cfg(n=64):
 
 
 def test_host_bridge_in_device_loop():
+    from abcsmc_tpu.models.simulators import backend_supports_callbacks
+
+    if not backend_supports_callbacks():
+        pytest.skip("backend does not support host callbacks")
     sim = HostBridgeSimulator(host_dice, nmet=2)
     abc = AbcSmc(cfg(), simulator=sim, storage=MemoryStorage())
     abc.run_device(seed=4)  # fused sharded loop with host callbacks
