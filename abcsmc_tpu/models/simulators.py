@@ -353,6 +353,113 @@ def make_linear_gaussian_simulator(
     return DeviceSimulator(fn, nmet=nmet)
 
 
+def make_lotka_volterra_simulator(
+    t_steps: int = 320, dt: float = 0.1, x0: float = 10.0, y0: float = 5.0,
+    n_obs: int = 8, noise_sd: float = 0.5,
+) -> DeviceSimulator:
+    """Stochastic Lotka-Volterra predator-prey dynamics - the canonical
+    ABC-SMC benchmark (Toni et al. 2009). Euler-Maruyama integration of
+
+        dx = ( a x - x y) dt + sigma sqrt(dt) x dW1   (prey)
+        dy = ( b x y - y) dt + sigma sqrt(dt) y dW2   (predator)
+
+    params = (a, b); metrics = prey and predator abundances at ``n_obs``
+    evenly spaced observation times with observation noise, i.e. 2*n_obs
+    summary statistics. lax.scan over time keeps it one fused program."""
+
+    obs_every = t_steps // n_obs
+
+    def fn(params, key):
+        a, b = params[0], params[1]
+        dtype = params.dtype
+        sigma = jnp.asarray(0.05, dtype)
+
+        def step(carry, k):
+            x, y = carry
+            e = jax.random.normal(k, (2,), dtype)
+            dx = (a * x - x * y) * dt + sigma * jnp.sqrt(dt) * x * e[0]
+            dy = (b * x * y - y) * dt + sigma * jnp.sqrt(dt) * y * e[1]
+            x2 = jnp.clip(x + dx, 1e-3, 1e4)
+            y2 = jnp.clip(y + dy, 1e-3, 1e4)
+            return (x2, y2), (x2, y2)
+
+        k_traj, k_noise = jax.random.split(key)
+        keys = jax.random.split(k_traj, t_steps)
+        init = (jnp.asarray(x0, dtype), jnp.asarray(y0, dtype))
+        _, (xs, ys) = jax.lax.scan(step, init, keys)
+        idx = jnp.arange(1, n_obs + 1) * obs_every - 1
+        obs = jnp.concatenate([xs[idx], ys[idx]])
+        obs = obs + noise_sd * jax.random.normal(k_noise, obs.shape, dtype)
+        return obs
+
+    return DeviceSimulator(fn, nmet=2 * n_obs)
+
+
+def make_seir_campaign_simulator(
+    population: int = 100_000, t_steps: int = 365, e0: int = 20,
+) -> DeviceSimulator:
+    """SEIR epidemic with a vaccination campaign - a dengue-campaign-style
+    model family (the reference's production use case class). params =
+    (beta, sigma_incubation, gamma, vax_day_frac, vax_rate); 8 metrics:
+    final size, peak prevalence, peak time, cases before/after campaign
+    start, attack rate among unvaccinated, duration, half time."""
+
+    def fn(params, key):
+        dtype = params.dtype
+        beta = jnp.abs(params[0])
+        inc = jnp.clip(jnp.abs(params[1]), 1e-3, 1.0)     # E -> I rate
+        gamma = jnp.clip(jnp.abs(params[2]), 1e-3, 1.0)   # I -> R rate
+        vax_day = jnp.clip(params[3], 0.0, 1.0) * t_steps
+        vax_rate = jnp.clip(jnp.abs(params[4]), 0.0, 0.05)
+
+        def binom(kk, n, p):
+            mean = n * p
+            sd = jnp.sqrt(jnp.maximum(n * p * (1 - p), 0.0))
+            draw = mean + sd * jax.random.normal(kk, (), dtype)
+            return jnp.clip(jnp.round(draw), 0.0, n)
+
+        def step(carry, inp):
+            s, e, i, r, v = carry
+            t, k = inp
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            p_inf = 1.0 - jnp.exp(-beta * i / population)
+            new_e = binom(k1, s, p_inf)
+            new_i = binom(k2, e, 1.0 - jnp.exp(-inc))
+            new_r = binom(k3, i, 1.0 - jnp.exp(-gamma))
+            campaign = (t >= vax_day).astype(dtype)
+            new_v = binom(k4, s - new_e, campaign * vax_rate)
+            s2 = s - new_e - new_v
+            return (s2, e + new_e - new_i, i + new_i - new_r, r + new_r,
+                    v + new_v), (i + new_i - new_r, new_i)
+
+        keys = jax.random.split(key, t_steps)
+        ts = jnp.arange(t_steps, dtype=dtype)
+        init = (
+            jnp.asarray(population - e0, dtype), jnp.asarray(e0, dtype),
+            jnp.asarray(0, dtype), jnp.asarray(0, dtype),
+            jnp.asarray(0, dtype),
+        )
+        (s, e, i, r, v), (prev, inc_series) = jax.lax.scan(
+            step, init, (ts, keys)
+        )
+        total = jnp.sum(inc_series)
+        before = jnp.sum(jnp.where(ts < vax_day, inc_series, 0.0))
+        peak = jnp.max(prev)
+        peak_t = ts[jnp.argmax(prev)]
+        duration = jnp.sum((prev > 0).astype(dtype))
+        half = jnp.argmax(
+            jnp.cumsum(inc_series) >= total / 2
+        ).astype(dtype)
+        unvax = population - v
+        attack_unvax = total / jnp.maximum(unvax, 1.0)
+        return jnp.stack([
+            r + i + e, peak, peak_t, before, total - before,
+            attack_unvax, duration, half,
+        ])
+
+    return DeviceSimulator(fn, nmet=8)
+
+
 #: Registry for the config-file "simulator" key (an extension over the
 #: reference, which only binds executables / shared objects from config).
 #: Factories receive (npar, nmet) from the parsed config.
@@ -361,6 +468,8 @@ BUILTIN_SIMULATORS: dict[str, Callable[[int, int], DeviceSimulator]] = {
     "gaussian": lambda npar, nmet: make_gaussian_simulator(),
     "sir": lambda npar, nmet: make_sir_simulator(),
     "linear_gaussian": make_linear_gaussian_simulator,
+    "lotka_volterra": lambda npar, nmet: make_lotka_volterra_simulator(),
+    "seir_campaign": lambda npar, nmet: make_seir_campaign_simulator(),
 }
 
 
