@@ -89,7 +89,11 @@ def main(argv: list[str] | None = None) -> int:
         abc = AbcSmc(args.config_file)
         if args.profile_dir:
             import jax
-            jax.profiler.start_trace(args.profile_dir)
+            try:
+                jax.profiler.start_trace(args.profile_dir)
+            except Exception as e:
+                sys.stderr.write(f"profiler unavailable: {e}\n")
+                args.profile_dir = ""
         if args.serial > -1:
             abc.simulate_particle_by_serial(args.serial)
         elif args.posterior > -1:
