@@ -37,15 +37,29 @@ def load_abcq(build_if_missing: bool = True) -> ctypes.CDLL:
 
 def run_workers(
     db_path: str, command: str, n_jobs: int = -1, n_workers: int = 4,
-    verbose: bool = False,
+    verbose: bool = False, chunk_size: int | None = None,
 ) -> int:
-    """Claim up to ``n_jobs`` queued/stuck jobs and run them through
-    ``n_workers`` parallel child processes. Returns jobs completed."""
+    """Run up to ``n_jobs`` queued/stuck jobs (-1 = drain the queue) through
+    ``n_workers`` parallel child processes. Returns jobs completed.
+
+    Claims happen in chunks (default ``max(4 * n_workers, 16)``) so multiple
+    machines pointing at the same database share the queue fairly instead of
+    one worker claiming everything in a single transaction - the reference's
+    ``--simulate -n 1000``-per-claim deployment pattern."""
     lib = load_abcq()
-    rc = lib.abcq_run(
-        db_path.encode(), command.encode(), int(n_jobs), int(n_workers),
-        1 if verbose else 0,
-    )
-    if rc < 0:
-        raise RuntimeError(f"abcq_run failed with code {rc}")
-    return rc
+    chunk = chunk_size or max(4 * int(n_workers), 16)
+    total = 0
+    while n_jobs < 0 or total < n_jobs:
+        ask = chunk if n_jobs < 0 else min(chunk, n_jobs - total)
+        rc = lib.abcq_run(
+            db_path.encode(), command.encode(), int(ask), int(n_workers),
+            1 if verbose else 0,
+        )
+        if rc < 0:
+            raise RuntimeError(f"abcq_run failed with code {rc}")
+        total += rc
+        if rc == 0:
+            # queue drained, or every remaining job is failing - stop rather
+            # than spin re-claiming 'R' rows
+            break
+    return total
