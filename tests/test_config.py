@@ -198,3 +198,13 @@ def test_pseudo_step_grid_epsilon():
     cfg["parameters"][0]["step"] = 0
     parsed = parse_config(cfg)
     assert parsed.parameters[0].values == (0.0,)
+
+
+def test_default_iterations_from_size_arrays():
+    # smc_iterations defaults to max(len(num_samples), len(pred_sizes))
+    # (src/AbcSmc.cpp:133)
+    base = json.load(open(REFERENCE_JSON))
+    cfg = dict(base)
+    del cfg["smc_iterations"]
+    parsed = parse_config(cfg)
+    assert parsed.num_smc_sets == 5  # len([300, 500, 500, 750, 1000])

@@ -94,3 +94,25 @@ def test_run_device_resume_via_host_path(tmp_path):
     abc2.process_database(seed=7)
     pars, _ = abc2.posterior()
     assert pars.shape == (16, 2)
+
+
+def test_thirty_generation_soak():
+    """The reference's default-scale generation count (30 in its quick-start
+    config): weights must stay finite and non-degenerate across a long chain
+    of INDEPENDENT-noise generations."""
+    cfg = dice_cfg(n=96)
+    cfg["smc_iterations"] = 30
+    cfg["predictive_prior_fraction"] = 0.25
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                 storage=MemoryStorage())
+    abc.run_device(seed=30)
+    assert len(abc._weights) == 30
+    for t in range(30):
+        w = abc._weights[t]
+        assert np.all(np.isfinite(w)) and w.sum() > 0
+    # ESS never collapses to a single particle
+    ess = [abc.ess(t) for t in range(30)]
+    assert min(ess) > 1.5, ess
+    pars, _ = abc.posterior()
+    # converged near the analytic inverse after 30 generations
+    assert abs(pars[:, 1].mean() - 8.4) < 4
