@@ -19,6 +19,14 @@ _DEFAULT_DIR = os.path.join(
 def enable_persistent_cache(cache_dir: str | None = None):
     import jax
 
+    # never persist XLA:CPU AOT results: the cache entries are pinned to the
+    # compile machine's feature set and reload with SIGILL-risk warnings;
+    # the win is remote TPU compiles anyway (checked without initializing
+    # backends - jax_platforms is just the config string)
+    platforms = jax.config.jax_platforms or ""
+    if platforms.split(",")[0] == "cpu":
+        return
+
     path = cache_dir or os.environ.get("ABCSMC_JAX_CACHE", _DEFAULT_DIR)
     try:
         os.makedirs(path, exist_ok=True)

@@ -57,14 +57,10 @@ class PLSModel:
         """Error matrix for NEW_DATA validation (reference cv_NEW_DATA,
         src/AbcUtil.cpp:446): entry [a, j] = SSE of response j using a+1
         components on the held-out data."""
-        x_val = jnp.asarray(x_val)
-        y_val = jnp.asarray(y_val)
-        t_val = x_val @ self.rotations                     # n_v x A
-        # contribution of component a to response j: t_val[:, a] * Q[j, a]
-        contribs = t_val[:, :, None] * self.y_loadings.T[None, :, :]  # n_v x A x p
-        preds = jnp.cumsum(contribs, axis=1)               # n_v x A x p
-        resid = y_val[:, None, :] - preds
-        return jnp.sum(resid * resid, axis=0)              # A x p
+        return _sse_per_component(
+            self.rotations, self.y_loadings,
+            jnp.asarray(x_val), jnp.asarray(y_val),
+        )
 
 
 def _fit_gram(xtx, xty, ncomp: int):

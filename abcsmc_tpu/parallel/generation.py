@@ -216,7 +216,10 @@ class ShardedGeneration:
             s2 = jax.lax.psum(jnp.sum(mets_l * mets_l, axis=0), AXIS)
             mean = s1 / n
             sd = jnp.sqrt(jnp.maximum(s2 - n * mean * mean, 0.0) / (n - 1))
-            sd = jnp.maximum(sd, eps)
+            # constant column -> unit scale (same conscious fix as
+            # ranking._guard_sd; a tiny-eps floor would blow obs_z up to ~1e30
+            # and swamp every informative column)
+            sd = jnp.where(sd <= eps, 1.0, sd)
             zmet_l = (mets_l - mean) / sd
             obs_z = (obs - mean) / sd
 
@@ -230,7 +233,7 @@ class ShardedGeneration:
                 psd = jnp.sqrt(
                     jnp.maximum(p2 - n * pmean * pmean, 0.0) / (n - 1)
                 )
-                psd = jnp.maximum(psd, eps)
+                psd = jnp.where(psd <= eps, 1.0, psd)
                 zpar_l = (params_l - pmean) / psd
 
                 # ---- PLS fit on the training rows (Gram psums) ----

@@ -102,7 +102,8 @@ class MemoryStorage(Storage):
     # -- job queue -----------------------------------------------------------------
     def claim_jobs(self, n=1, serial_req=-1, posterior_req=-1):
         if serial_req > -1:
-            chosen = [serial_req]
+            # unknown serial -> empty claim (SQLite-store / reference parity)
+            chosen = [serial_req] if serial_req < len(self.serial) else []
         elif posterior_req > -1:
             post = np.asarray(self.posterior)
             sets = np.asarray(self.smc_set)

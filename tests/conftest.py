@@ -26,9 +26,13 @@ if not ON_TPU:
     jax.config.update("jax_num_cpu_devices", 8)
     jax.config.update("jax_enable_x64", True)
 
-from abcsmc_tpu._cache import enable_persistent_cache  # noqa: E402
+if ON_TPU:
+    # persistent compile cache: big win for remote TPU compiles; NOT used for
+    # the CPU mesh (XLA:CPU AOT cache entries are machine-feature-pinned and
+    # reload with SIGILL-risk warnings)
+    from abcsmc_tpu._cache import enable_persistent_cache
 
-enable_persistent_cache()
+    enable_persistent_cache()
 
 
 def pytest_runtest_setup(item):
@@ -41,7 +45,3 @@ def pytest_runtest_setup(item):
         }
         if item.module.__name__ in needs_mesh:
             pytest.skip("requires the 8-device x64 CPU mesh")
-
-from abcsmc_tpu._cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()

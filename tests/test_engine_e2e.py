@@ -273,3 +273,12 @@ def test_concurrent_process_claims(tmp_path):
     attempts = [r[0] for r in conn.execute("select attempts from job")]
     assert sum(attempts) == 60  # exactly 60 claims happened in total
     conn.close()
+
+
+def test_memstore_unknown_serial_claim_is_empty():
+    abc = AbcSmc(dice_config(smc_iterations=1, num_samples=10),
+                 simulator=make_dice_simulator(max_dice=100),
+                 storage=MemoryStorage())
+    abc.build_database(seed=0)
+    claimed = abc.storage.claim_jobs(1, serial_req=999)
+    assert claimed.serials.size == 0
