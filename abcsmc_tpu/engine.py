@@ -595,6 +595,27 @@ class AbcSmc:
         w = self._weights[set_num]
         return float(w.sum() ** 2 / (w**2).sum())
 
+    def posterior_predictive(
+        self, n: int = 100, seed: int = 0, set_num: int = -1
+    ) -> np.ndarray:
+        """Posterior-predictive metric draws: resample ``n`` posterior
+        particles (weighted), rerun the simulator with fresh seeds, return the
+        metrics [n, M]. Compare to ``self.obs`` for model criticism."""
+        if self.simulator is None:
+            raise SimulatorError("simulator not set", code=-211)
+        pars, w = self.posterior(set_num)
+        key = self._key(seed)
+        k_pick, k_seed = jax.random.split(key)
+        idx = np.asarray(
+            resample.categorical_indices(k_pick, jnp.asarray(w), n)
+        )
+        chosen = pars[idx]
+        upars = np.asarray(
+            self.transform.to_model_space(jnp.asarray(chosen)), np.float64
+        )
+        seeds = self._draw_seeds(k_seed, n)
+        return self.simulator.run_batch(upars, seeds, np.arange(n))
+
     def posterior(self, set_num: int = -1) -> tuple[np.ndarray, np.ndarray]:
         """(params, weights) of the predictive prior of a set (default last)."""
         if set_num == -1:

@@ -155,3 +155,48 @@ def test_posterior_summary_and_compare(tmp_path):
         assert 0.0 <= v["ks"] <= 1.0
         # two seeds of the same converging analysis should roughly agree
         assert v["mean_diff_in_sd"] < 3.0
+
+
+def test_posterior_predictive():
+    abc = AbcSmc(cfg(n=200, iters=3), simulator=make_dice_simulator(max_dice=30),
+                 storage=MemoryStorage())
+    abc.run(seed=8)
+    pp = abc.posterior_predictive(n=200, seed=1)
+    assert pp.shape == (200, 2)
+    # predictive draws should bracket the observed metrics
+    lo, hi = np.percentile(pp[:, 0], [2, 98])
+    assert lo <= 44 <= hi, (lo, hi)
+
+
+def test_config_fuzz_no_crashes():
+    """Random garbage configs must raise ConfigError (or KeyError-free parse),
+    never crash with unrelated exceptions."""
+    import random
+    from abcsmc_tpu.config import parse_config
+    from abcsmc_tpu.errors import ConfigError
+
+    rng = random.Random(0)
+    tokens = [None, -1, 0, 1.5, "UNIFORM", "PSEUDO", "WIBBLE", [], {}, "INT",
+              [1, 2], True, "0.5", float("nan")]
+    for _ in range(300):
+        cfg = {
+            "smc_iterations": rng.choice(tokens),
+            "num_samples": rng.choice(tokens),
+            "predictive_prior_fraction": rng.choice(tokens),
+            "parameters": rng.choice([
+                [], [{"name": "x",
+                      "dist_type": rng.choice(tokens),
+                      "num_type": rng.choice(tokens),
+                      "par1": rng.choice(tokens),
+                      "par2": rng.choice(tokens)}],
+                rng.choice(tokens),
+            ]),
+            "metrics": rng.choice([
+                [], [{"name": "m", "num_type": rng.choice(tokens),
+                      "value": rng.choice(tokens)}],
+            ]),
+        }
+        try:
+            parse_config(cfg)
+        except (ConfigError, KeyError, TypeError, ValueError):
+            pass  # rejected cleanly
