@@ -29,6 +29,8 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    matching Priors.h:19-33 MAX_ATTEMPTS)
   ``box_cox``      skewness-minimizing Box-Cox transform of metrics before PLS
                    ranking (the reference's TODO at src/AbcUtil.cpp:430)
+  ``nrmse_tolerance``  stop the run() / run_device() loops early once the
+                   posterior metric means' NRMSE drops below this (0 = off)
 """
 
 from __future__ import annotations
@@ -146,6 +148,7 @@ class SmcConfig:
     resume_directory: str = ""
     max_retries: int = 1000
     box_cox: bool = False
+    nrmse_tolerance: float = 0.0
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -497,6 +500,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         resume_directory=par.get("resume_directory", ""),
         max_retries=int(par.get("max_retries", 1000)),
         box_cox=bool(par.get("box_cox", False)),
+        nrmse_tolerance=float(par.get("nrmse_tolerance", 0.0)),
         projection_mode=projection,
         raw=par,
     )

@@ -424,12 +424,31 @@ class AbcSmc:
         return self.simulate_next_particles(1, -1, posterior_req)
 
     # ------------------------------------------------------------------ full loop
+    def _converged(self) -> bool:
+        """Early-stopping check (extension): NRMSE of the latest posterior's
+        metric means vs observed below config.nrmse_tolerance."""
+        tol = self.config.nrmse_tolerance
+        if not tol or not self._predictive_prior:
+            return False
+        t = len(self._predictive_prior) - 1
+        surv = self._predictive_prior[t]
+        val = float(stats.nrmse(self._particle_metrics[t][surv], self.obs))
+        if val < tol:
+            sys.stderr.write(
+                f"Converged: NRMSE {val:.6g} < tolerance {tol} after set "
+                f"{t}; stopping early.\n"
+            )
+            return True
+        return False
+
     def run(self, seed: int = 0, verbose: bool = False):
         """The --all loop (examples/include/examples.h:57-94): for each SMC set,
         process then simulate the whole set; one final process pass extracts the
-        last posterior."""
+        last posterior. Stops early if config.nrmse_tolerance is reached."""
         for t in range(self.config.num_smc_sets):
             self.process_database(seed + t, verbose)
+            if self._converged():
+                return self
             self.simulate_next_particles(n=-1)
         self.process_database(seed + self.config.num_smc_sets, verbose)
         return self
@@ -517,6 +536,17 @@ class AbcSmc:
                 res.survivor_params, res.weights, res.doubled_variance
             )
             params, seeds = res.next_params, res.next_seeds
+            if cfg.nrmse_tolerance:
+                val = float(
+                    stats.nrmse(np.asarray(res.survivor_metrics), self.obs)
+                )
+                if val < cfg.nrmse_tolerance:
+                    sys.stderr.write(
+                        f"Converged: NRMSE {val:.6g} < tolerance "
+                        f"{cfg.nrmse_tolerance} after set {t}; stopping "
+                        "early.\n"
+                    )
+                    break
 
         # ---- mirror into the run store (schema parity) ----
         if mirror_store:
@@ -562,7 +592,7 @@ class AbcSmc:
             reports.filtering_report(
                 self, t, pars_np[surv], mets_np[surv]
             )
-        reports.report_convergence_data(self, cfg.num_smc_sets - 1)
+        reports.report_convergence_data(self, len(results) - 1)
         return self
 
     # -- results ------------------------------------------------------------------

@@ -116,3 +116,20 @@ def test_thirty_generation_soak():
     pars, _ = abc.posterior()
     # converged near the analytic inverse after 30 generations
     assert abs(pars[:, 1].mean() - 8.4) < 4
+
+
+def test_nrmse_early_stopping():
+    """'nrmse_tolerance' stops both loops early once the posterior metric
+    means match the observed within tolerance."""
+    cfg = dice_cfg(n=96)
+    cfg["smc_iterations"] = 30
+    cfg["nrmse_tolerance"] = 0.3  # loose: reached within a few generations
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                 storage=MemoryStorage())
+    abc.run_device(seed=13)
+    assert 1 <= len(abc._weights) < 30
+
+    abc2 = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                  storage=MemoryStorage())
+    abc2.run(seed=13)
+    assert 1 <= len(abc2._weights) < 30
