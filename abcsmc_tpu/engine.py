@@ -571,16 +571,10 @@ class AbcSmc:
                     )
                     if self.transform.has_any else None
                 )
-                serials = self.storage.insert_generation(
-                    t, pars_np, seeds_np, upars
-                )
-                n = len(serials)
-                self.storage.write_results(
-                    serials, mets_np,
-                    np.full(n, int(time.time())), np.zeros(n),
-                )
-                self.storage.write_posterior_ranks(
-                    serials[surv], np.arange(len(surv))
+                ranks = np.full(len(pars_np), -1, np.int64)
+                ranks[surv] = np.arange(len(surv))
+                self.storage.insert_generation_complete(
+                    t, pars_np, seeds_np, mets_np, upars, ranks
                 )
             self._particle_parameters.append(pars_np)
             self._particle_metrics.append(mets_np)

@@ -84,6 +84,27 @@ class Storage:
         """Enqueue a generation as 'Q' rows; returns assigned serials."""
         raise NotImplementedError
 
+    def insert_generation_complete(
+        self,
+        set_num: int,
+        params: np.ndarray,
+        seeds: np.ndarray,
+        metrics: np.ndarray,
+        upars: np.ndarray | None = None,
+        posterior_ranks: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Bulk-insert an already-simulated generation (status 'D', metrics
+        filled) - the on-device mirror path. Default: insert + writeback."""
+        serials = self.insert_generation(set_num, params, seeds, upars,
+                                         posterior_ranks)
+        n = len(serials)
+        import time as _time
+
+        self.write_results(
+            serials, metrics, np.full(n, int(_time.time())), np.zeros(n)
+        )
+        return serials
+
     def read_generations(self) -> list[GenerationData]:
         """All sets ascending by smcSet (src/AbcSmc.cpp:562-621)."""
         raise NotImplementedError

