@@ -389,3 +389,22 @@ class SQLiteStorage(Storage):
 
 def _f(v) -> float:
     return float("nan") if v is None else float(v)
+
+
+def create_legacy_views(db_path: str):
+    """Create views with the OLD reference table names (jobs / parameters /
+    metrics) over the current schema, so the reference's historical analysis
+    scripts (vis/abc_plots.R reads `jobs`, SURVEY parity-landmines section)
+    run against databases produced here."""
+    conn = sqlite3.connect(db_path)
+    try:
+        for view, table in (
+            ("jobs", JOB_TABLE), ("parameters", PAR_TABLE),
+            ("metrics", MET_TABLE),
+        ):
+            conn.execute(
+                f"create view if not exists {view} as select * from {table}"
+            )
+        conn.commit()
+    finally:
+        conn.close()

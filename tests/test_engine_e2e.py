@@ -282,3 +282,25 @@ def test_memstore_unknown_serial_claim_is_empty():
     abc.build_database(seed=0)
     claimed = abc.storage.claim_jobs(1, serial_req=999)
     assert claimed.serials.size == 0
+
+
+def test_legacy_view_names(tmp_path):
+    """Old-schema view names (jobs/parameters/metrics) for the reference's
+    historical R scripts."""
+    from abcsmc_tpu.storage.sqlite_store import create_legacy_views
+
+    db = str(tmp_path / "legacy.sqlite")
+    abc = AbcSmc(dice_config(smc_iterations=1, num_samples=20,
+                             database_filename=db),
+                 simulator=make_dice_simulator(max_dice=100))
+    abc.run(seed=1)
+    create_legacy_views(db)
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from jobs").fetchone()[0] == 20
+    assert conn.execute(
+        "select count(*) from parameters where ndice is not null"
+    ).fetchone()[0] == 20
+    assert conn.execute(
+        "select count(*) from metrics where sum is not null"
+    ).fetchone()[0] == 20
+    conn.close()
