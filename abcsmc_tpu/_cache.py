@@ -21,10 +21,14 @@ def enable_persistent_cache(cache_dir: str | None = None):
 
     # never persist XLA:CPU AOT results: the cache entries are pinned to the
     # compile machine's feature set and reload with SIGILL-risk warnings;
-    # the win is remote TPU compiles anyway (checked without initializing
-    # backends - jax_platforms is just the config string)
-    platforms = jax.config.jax_platforms or ""
-    if platforms.split(",")[0] == "cpu":
+    # the win is remote TPU compiles anyway. NB this initializes the backend,
+    # so call sites must have finalized platform selection (they have: cli,
+    # bench, entry(), and the TPU test conftest; dryrun_multichip switches
+    # platforms itself and deliberately does not call this).
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
         return
 
     path = cache_dir or os.environ.get("ABCSMC_JAX_CACHE", _DEFAULT_DIR)

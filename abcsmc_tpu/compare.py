@@ -2,8 +2,10 @@
 
 Statistical-parity harness: given two runs of the "same" analysis (e.g. this
 engine vs the C++ reference, or two seeds), compare the final predictive
-priors per parameter with weighted summaries and a two-sample
-Kolmogorov-Smirnov distance. Usage:
+priors per parameter with (unweighted) survivor-set summaries and a
+two-sample Kolmogorov-Smirnov distance. Importance weights are not stored in
+the database schema, so the comparison treats survivors as equal-role samples
+- the same convention the reference's R diagnostics use. Usage:
 
     python -m abcsmc_tpu.compare a.sqlite b.sqlite
 """

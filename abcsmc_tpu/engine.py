@@ -215,7 +215,15 @@ class AbcSmc:
         sys.stderr.write("\n\n")
 
         t0 = time.perf_counter()
-        if self.config.num_smc_sets > next_set:
+        self._stopped_early = (
+            self.config.num_smc_sets > next_set and self._converged()
+        )
+        if self._stopped_early:
+            # convergence-based early stop (extension): don't enqueue the
+            # next generation at all, so no dangling 'Q' set lands in the
+            # store and any --all loop or worker fleet drains naturally
+            pass
+        elif self.config.num_smc_sets > next_set:
             key = self._key(seed)
             k_noise, k_seed = jax.random.split(key)
             n = self.config.smc_size_at(next_set)
@@ -424,22 +432,27 @@ class AbcSmc:
         return self.simulate_next_particles(1, -1, posterior_req)
 
     # ------------------------------------------------------------------ full loop
-    def _converged(self) -> bool:
-        """Early-stopping check (extension): NRMSE of the latest posterior's
-        metric means vs observed below config.nrmse_tolerance."""
+    def _nrmse_converged(self, survivor_metrics, set_num: int) -> bool:
+        """Early-stopping rule (extension): NRMSE of a posterior's metric
+        means vs observed below config.nrmse_tolerance."""
         tol = self.config.nrmse_tolerance
-        if not tol or not self._predictive_prior:
+        if not tol:
             return False
-        t = len(self._predictive_prior) - 1
-        surv = self._predictive_prior[t]
-        val = float(stats.nrmse(self._particle_metrics[t][surv], self.obs))
+        val = float(stats.nrmse(np.asarray(survivor_metrics), self.obs))
         if val < tol:
             sys.stderr.write(
                 f"Converged: NRMSE {val:.6g} < tolerance {tol} after set "
-                f"{t}; stopping early.\n"
+                f"{set_num}; stopping early.\n"
             )
             return True
         return False
+
+    def _converged(self) -> bool:
+        if not self.config.nrmse_tolerance or not self._predictive_prior:
+            return False
+        t = len(self._predictive_prior) - 1
+        surv = self._predictive_prior[t]
+        return self._nrmse_converged(self._particle_metrics[t][surv], t)
 
     def run(self, seed: int = 0, verbose: bool = False):
         """The --all loop (examples/include/examples.h:57-94): for each SMC set,
@@ -447,7 +460,7 @@ class AbcSmc:
         last posterior. Stops early if config.nrmse_tolerance is reached."""
         for t in range(self.config.num_smc_sets):
             self.process_database(seed + t, verbose)
-            if self._converged():
+            if getattr(self, "_stopped_early", False):
                 return self
             self.simulate_next_particles(n=-1)
         self.process_database(seed + self.config.num_smc_sets, verbose)
@@ -536,17 +549,8 @@ class AbcSmc:
                 res.survivor_params, res.weights, res.doubled_variance
             )
             params, seeds = res.next_params, res.next_seeds
-            if cfg.nrmse_tolerance:
-                val = float(
-                    stats.nrmse(np.asarray(res.survivor_metrics), self.obs)
-                )
-                if val < cfg.nrmse_tolerance:
-                    sys.stderr.write(
-                        f"Converged: NRMSE {val:.6g} < tolerance "
-                        f"{cfg.nrmse_tolerance} after set {t}; stopping "
-                        "early.\n"
-                    )
-                    break
+            if self._nrmse_converged(res.survivor_metrics, t):
+                break
 
         # ---- mirror into the run store (schema parity) ----
         if mirror_store:
@@ -659,6 +663,7 @@ class AbcSmc:
         pars, w = self.posterior(set_num)
         w = np.asarray(w, np.float64)
         w = w / w.sum()
+        ess = self.ess(set_num)
         out = {}
         for j, p in enumerate(self.par_set.params):
             x = pars[:, j]
@@ -673,7 +678,6 @@ class AbcSmc:
             }
             out[p.short_name] = {
                 "mean": mean, "sd": float(np.sqrt(var)), "quantiles": qs,
-                "ess": self.ess(set_num if set_num != -1
-                                else len(self._weights) - 1),
+                "ess": ess,
             }
         return out

@@ -133,3 +133,7 @@ def test_nrmse_early_stopping():
                   storage=MemoryStorage())
     abc2.run(seed=13)
     assert 1 <= len(abc2._weights) < 30
+    # early stop must not leave a dangling unsimulated 'Q' generation
+    gens = abc2.storage.read_generations()
+    assert all(g.complete for g in gens)
+    assert len(gens) == len(abc2._weights)
