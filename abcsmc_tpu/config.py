@@ -31,6 +31,9 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    ranking (the reference's TODO at src/AbcUtil.cpp:430)
   ``nrmse_tolerance``  stop the run() / run_device() loops early once the
                    posterior metric means' NRMSE drops below this (0 = off)
+  ``pls_optimal_method``  "tolerance" (default: fewest components within 10%
+                   of min PRESS) or "vdv" (van der Voet randomization test,
+                   the rule upstream tjhladish/PLS uses)
 """
 
 from __future__ import annotations
@@ -149,6 +152,7 @@ class SmcConfig:
     max_retries: int = 1000
     box_cox: bool = False
     nrmse_tolerance: float = 0.0
+    pls_optimal_method: str = "tolerance"
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -501,6 +505,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         max_retries=int(par.get("max_retries", 1000)),
         box_cox=bool(par.get("box_cox", False)),
         nrmse_tolerance=float(par.get("nrmse_tolerance", 0.0)),
+        pls_optimal_method=str(par.get("pls_optimal_method", "tolerance")),
         projection_mode=projection,
         raw=par,
     )

@@ -337,6 +337,7 @@ class AbcSmc:
                 jnp.asarray(mets), jnp.asarray(pars), jnp.asarray(self.obs),
                 self.config.pls_training_fraction,
                 box_cox=self.config.box_cox,
+                optimal_method=self.config.pls_optimal_method,
             )
         else:
             order, _ = ranking.ranking_simple(

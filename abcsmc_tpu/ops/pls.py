@@ -210,6 +210,59 @@ def cv_lso(x, y, ncomp: int, key, num_splits: int = 10,
     return jnp.sum(jax.vmap(one)(keys), axis=0)
 
 
+def _per_row_sq_errors(R, Q, x_val, y_val):
+    """[nv, A, p] squared prediction errors per held-out row and component
+    count (cumulative-component predictions)."""
+    t_val = x_val @ R
+    contribs = t_val[:, :, None] * Q.T[None, :, :]
+    preds = jnp.cumsum(contribs, axis=1)
+    resid = y_val[:, None, :] - preds
+    return resid * resid
+
+
+@partial(jax.jit, static_argnames=("n_perm",))
+def _vdv_pvalues(sq_err, key, n_perm: int):
+    """Van der Voet (1994) sign-randomization p-values: for each component
+    count A and response j, test H0 'A performs as well as the PRESS-minimal
+    count' by randomizing the signs of the per-row error differences."""
+    nv, A, p = sq_err.shape
+    press = jnp.sum(sq_err, axis=0)                      # [A, p]
+    best = jnp.argmin(press, axis=0)                     # [p]
+    best_err = jnp.take_along_axis(
+        sq_err, best[None, None, :].repeat(nv, 0), axis=1
+    )                                                    # [nv, 1, p]
+    d = sq_err - best_err                                # [nv, A, p]
+    t_obs = jnp.mean(d, axis=0)                          # [A, p]
+    signs = jax.random.rademacher(
+        key, (n_perm, nv), dtype=sq_err.dtype
+    )
+    t_perm = jnp.einsum("kn,nap->kap", signs, d) / nv    # [n_perm, A, p]
+    return jnp.mean(
+        jnp.abs(t_perm) >= jnp.abs(t_obs)[None, :, :], axis=0
+    )                                                    # [A, p]
+
+
+def optimal_num_components_vdv(
+    model: PLSModel, x_val, y_val, key, n_perm: int = 199,
+    alpha: float = 0.25,
+) -> jnp.ndarray:
+    """Per-response optimal component counts (1-based) by van der Voet's
+    randomization test - the selection rule upstream tjhladish/PLS uses: the
+    *fewest* components whose held-out errors are not significantly worse
+    (p > alpha) than the PRESS-minimal count's."""
+    x_val = jnp.asarray(x_val)
+    y_val = jnp.asarray(y_val)
+    if y_val.ndim == 1:
+        y_val = y_val[:, None]
+    sq_err = _per_row_sq_errors(
+        model.rotations, model.y_loadings, x_val, y_val
+    )
+    pvals = _vdv_pvalues(sq_err, key, n_perm)
+    ok = pvals > alpha
+    # the PRESS-minimal count itself always has p == 1
+    return jnp.argmax(ok, axis=0) + 1
+
+
 def optimal_num_components(error_matrix, rel_tol: float = 0.1) -> jnp.ndarray:
     """Per-response optimal component counts (1-based) from a validation error
     matrix [A x p] (reference PLS::optimal_num_components; the call site takes

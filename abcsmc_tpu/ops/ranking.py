@@ -75,10 +75,13 @@ def ranking_simple(metric_vals, obs_row):
 
 def pls_scores_for_ranking(
     metric_vals, param_vals, obs_row, training_fraction: float,
-    max_components: int | None = None,
+    max_components: int | None = None, optimal_method: str = "tolerance",
 ):
     """Fit + component selection + projection; returns (sim_scores, obs_scores,
-    num_components_used). Split out so the sharded path can reuse it."""
+    num_components_used). Split out so the sharded path can reuse it.
+
+    ``optimal_method``: "tolerance" (PRESS within 10% of min) or "vdv"
+    (van der Voet randomization test with a fixed key - deterministic)."""
     x = jnp.asarray(metric_vals)
     y = jnp.asarray(param_vals)
     n = x.shape[0]
@@ -96,8 +99,14 @@ def pls_scores_for_ranking(
     n_train = min(max(n_train, 1), n - 1)
 
     model = pls_mod.fit(z_met[:n_train], z_par[:n_train], ncomp=max_components)
-    em = model.cv_new_data(z_met[n_train:], z_par[n_train:])
-    ncomp_used = int(jnp.max(pls_mod.optimal_num_components(em)))
+    if optimal_method == "vdv":
+        counts = pls_mod.optimal_num_components_vdv(
+            model, z_met[n_train:], z_par[n_train:], jax.random.PRNGKey(0)
+        )
+    else:
+        em = model.cv_new_data(z_met[n_train:], z_par[n_train:])
+        counts = pls_mod.optimal_num_components(em)
+    ncomp_used = int(jnp.max(counts))
 
     obs_scores = model.scores(obs_met[None, :], ncomp_used)[0]
     sim_scores = model.scores(z_met, ncomp_used)
@@ -107,6 +116,7 @@ def pls_scores_for_ranking(
 def ranking_pls(
     metric_vals, param_vals, obs_row, training_fraction: float,
     max_components: int | None = None, box_cox: bool = False,
+    optimal_method: str = "tolerance",
 ):
     """Full ascending order of particles by PLS-score distance
     (src/AbcUtil.cpp:423-458)."""
@@ -114,7 +124,8 @@ def ranking_pls(
     if box_cox:
         metric_vals, obs_row = apply_box_cox(metric_vals, obs_row)
     sim_scores, obs_scores, ncomp = pls_scores_for_ranking(
-        metric_vals, param_vals, obs_row, training_fraction, max_components
+        metric_vals, param_vals, obs_row, training_fraction, max_components,
+        optimal_method,
     )
     dists = stats.euclidean(sim_scores, obs_scores)
     return stats.ordered(dists), dists

@@ -168,3 +168,35 @@ def test_cv_lso_selects_sensible_components():
     assert np.all(em[0] > em[-1])  # more components help up to the truth
     best = np.asarray(pls.optimal_num_components(jnp.asarray(em)))
     assert np.all(best >= 1) and np.all(best <= 6)
+
+
+def test_van_der_voet_component_selection():
+    """vdv selection: parsimonious counts whose held-out errors are not
+    significantly worse than the PRESS-minimal count's."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n, m, p = 400, 10, 3
+    X = rng.normal(size=(n, m))
+    latent = X @ rng.normal(size=(m, 2))
+    Y = latent @ rng.normal(size=(2, p)) + 0.05 * rng.normal(size=(n, p))
+    X, Y = _zscore(X), _zscore(Y)
+    model = pls.fit(jnp.asarray(X[:200]), jnp.asarray(Y[:200]), ncomp=6)
+    best = np.asarray(pls.optimal_num_components_vdv(
+        model, jnp.asarray(X[200:]), jnp.asarray(Y[200:]),
+        jax.random.PRNGKey(0),
+    ))
+    em = np.asarray(model.cv_new_data(jnp.asarray(X[200:]),
+                                      jnp.asarray(Y[200:])))
+    argmin = em.argmin(axis=0) + 1
+    # vdv picks at most the PRESS-argmin count, and the chosen count's PRESS
+    # is close to the minimum
+    assert np.all(best >= 1) and np.all(best <= argmin)
+    for j, b in enumerate(best):
+        assert em[b - 1, j] <= 1.5 * em[:, j].min()
+    # degenerate sanity: the argmin count itself always passes (p == 1)
+    sq = pls._per_row_sq_errors(model.rotations, model.y_loadings,
+                                jnp.asarray(X[200:]), jnp.asarray(Y[200:]))
+    pv = np.asarray(pls._vdv_pvalues(sq, jax.random.PRNGKey(1), 99))
+    for j in range(p):
+        assert pv[argmin[j] - 1, j] == 1.0

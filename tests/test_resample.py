@@ -111,3 +111,26 @@ def test_box_cox_ranking_option():
         before = abs(float(S.skewness(jnp.asarray(mets[:, j]))))
         after = abs(float(S.skewness(xt[:, j])))
         assert after <= before + 1e-6
+
+
+def test_ranking_pls_vdv_method():
+    rng = np.random.default_rng(0)
+    n, p = 200, 2
+    theta = rng.uniform(-3, 3, size=(n, p))
+    A = rng.normal(size=(p, 6))
+    mets = theta @ A + 0.05 * rng.normal(size=(n, 6))
+    obs = np.array([0.5, -1.0]) @ A
+    o_tol, d_tol = ranking.ranking_pls(
+        jnp.asarray(mets), jnp.asarray(theta), jnp.asarray(obs), 0.5,
+        optimal_method="tolerance",
+    )
+    o_vdv, d_vdv = ranking.ranking_pls(
+        jnp.asarray(mets), jnp.asarray(theta), jnp.asarray(obs), 0.5,
+        optimal_method="vdv",
+    )
+    # both methods produce valid full orderings concentrated near the truth
+    for order in (o_tol, o_vdv):
+        idx = np.asarray(order)
+        assert len(np.unique(idx)) == n
+        sel = theta[idx[:30]]
+        assert np.linalg.norm(sel - np.array([0.5, -1.0]), axis=1).mean() < 1.2
