@@ -51,6 +51,7 @@ double sqlite3_column_double(sqlite3_stmt*, int);
 sqlite3_int64 sqlite3_column_int64(sqlite3_stmt*, int);
 const unsigned char* sqlite3_column_text(sqlite3_stmt*, int);
 int sqlite3_busy_timeout(sqlite3*, int);
+int sqlite3_changes(sqlite3*);
 const char* sqlite3_errmsg(sqlite3*);
 void sqlite3_free(void*);
 }
@@ -195,7 +196,12 @@ bool writeback(sqlite3* db, const std::vector<std::string>& met_cols,
         exec_sql(db, "ROLLBACK;");
         return false;
     }
-    return exec_sql(db, "COMMIT;");
+    // status-guarded UPDATE may match 0 rows when another worker already
+    // completed this job (at-least-once overlap): commit either way, but
+    // only count writebacks that actually landed
+    int landed = sqlite3_changes(db);
+    if (!exec_sql(db, "COMMIT;")) return false;
+    return landed > 0;
 }
 
 // launch one child: /bin/sh -c "command p1 p2 ..." with stdout piped

@@ -114,3 +114,40 @@ def test_failed_child_leaves_job_running_for_retry(tmp_path):
     # a healthy pool picks them back up
     cmd = dice_exec_script(tmp_path)
     assert run_workers(db, f"python3 {cmd}", n_jobs=-1, n_workers=2) == 4
+
+
+def test_two_concurrent_pools_share_queue(tmp_path):
+    """Two worker pools (separate OS processes) draining one database
+    concurrently: every job completes exactly once (chunked claiming +
+    EXCLUSIVE transactions + guarded writeback)."""
+    import subprocess
+    import sys as _sys
+
+    db = make_db(tmp_path, n=30)
+    cmd = dice_exec_script(tmp_path)
+    worker = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from abcsmc_tpu.native import run_workers\n"
+        f"print(run_workers({db!r}, 'python3 {cmd}', -1, 2, chunk_size=4))\n"
+    )
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", worker],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(2)
+    ]
+    counts = [int(p.communicate()[0].strip()) for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    # at-least-once execution: a slow pool's 'R' jobs may be re-claimed and
+    # re-run by the other (attempts up to 2), but the guarded writeback means
+    # each job is *counted* exactly once across pools
+    assert sum(counts) == 30
+    assert min(counts) > 0            # both pools got work
+    conn = sqlite3.connect(db)
+    assert conn.execute(
+        "select count(*) from job where status = 'D'"
+    ).fetchone()[0] == 30
+    assert conn.execute(
+        "select max(attempts) from job"
+    ).fetchone()[0] <= 2
+    conn.close()
