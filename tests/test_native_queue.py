@@ -123,13 +123,13 @@ def test_two_concurrent_pools_share_queue(tmp_path):
     import subprocess
     import sys as _sys
 
-    db = make_db(tmp_path, n=30)
+    db = make_db(tmp_path, n=16)
     cmd = dice_exec_script(tmp_path)
     worker = (
         "import sys\n"
         "sys.path.insert(0, '/root/repo')\n"
         "from abcsmc_tpu.native import run_workers\n"
-        f"print(run_workers({db!r}, 'python3 {cmd}', -1, 2, chunk_size=4))\n"
+        f"print(run_workers({db!r}, 'python3 {cmd}', -1, 2, chunk_size=3))\n"
     )
     procs = [
         subprocess.Popen([_sys.executable, "-c", worker],
@@ -141,12 +141,12 @@ def test_two_concurrent_pools_share_queue(tmp_path):
     # at-least-once execution: a slow pool's 'R' jobs may be re-claimed and
     # re-run by the other (attempts up to 2), but the guarded writeback means
     # each job is *counted* exactly once across pools
-    assert sum(counts) == 30
+    assert sum(counts) == 16
     assert min(counts) > 0            # both pools got work
     conn = sqlite3.connect(db)
     assert conn.execute(
         "select count(*) from job where status = 'D'"
-    ).fetchone()[0] == 30
+    ).fetchone()[0] == 16
     assert conn.execute(
         "select max(attempts) from job"
     ).fetchone()[0] <= 2
