@@ -526,6 +526,7 @@ class AbcSmc:
             noise_type=cfg.noise,
             training_fraction=cfg.pls_training_fraction,
             max_retries=cfg.max_retries,
+            pls_optimal_method=cfg.pls_optimal_method,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 

@@ -76,6 +76,8 @@ class ShardedGeneration:
         max_pls_components: int | None = None,
         max_retries: int = 1000,
         dtype=jnp.float32,
+        pls_optimal_method: str = "tolerance",
+        vdv_permutations: int = 199,
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -94,6 +96,8 @@ class ShardedGeneration:
         self.max_pls_components = max_pls_components
         self.max_retries = int(max_retries)
         self.dtype = dtype
+        self.pls_optimal_method = pls_optimal_method
+        self.vdv_permutations = int(vdv_permutations)
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -249,11 +253,36 @@ class ShardedGeneration:
                 preds = jnp.cumsum(contribs, axis=1)
                 resid = zpar_l[:, None, :] - preds
                 test = 1.0 - train
-                sse_l = jnp.sum(resid * resid * test[:, :, None], axis=0)
-                press = jax.lax.psum(sse_l, AXIS)                 # [A, p]
+                sq = resid * resid * test[:, :, None]             # [ln, A, p]
+                press = jax.lax.psum(jnp.sum(sq, axis=0), AXIS)   # [A, p]
 
-                min_press = jnp.min(press, axis=0)
-                ok = press <= 1.1 * min_press[None, :]
+                if self.pls_optimal_method == "vdv":
+                    # van der Voet randomization test, distributed: the
+                    # T-statistics are row sums, so per-shard partials psum;
+                    # train rows contribute zero differences (harmless - both
+                    # T_obs and every T* scale by the same row count)
+                    best = jnp.argmin(press, axis=0)              # [p]
+                    best_err = jnp.take_along_axis(
+                        sq, best[None, None, :].repeat(local_n, 0), axis=1
+                    )                                              # [ln,1,p]
+                    dd = sq - best_err                             # [ln,A,p]
+                    t_obs = jax.lax.psum(jnp.sum(dd, axis=0), AXIS)
+                    sgn = jax.random.rademacher(
+                        jax.random.fold_in(
+                            jax.random.fold_in(key, 98321), shard
+                        ),
+                        (self.vdv_permutations, local_n), self.dtype,
+                    )
+                    t_perm = jax.lax.psum(
+                        jnp.einsum("kn,nap->kap", sgn, dd), AXIS
+                    )
+                    pvals = jnp.mean(
+                        jnp.abs(t_perm) >= jnp.abs(t_obs)[None], axis=0
+                    )
+                    ok = pvals > 0.25
+                else:
+                    min_press = jnp.min(press, axis=0)
+                    ok = press <= 1.1 * min_press[None, :]
                 ncomp_resp = jnp.argmax(ok, axis=0) + 1
                 ncomp_used = jnp.max(ncomp_resp)
                 col_mask = (

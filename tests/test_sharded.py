@@ -157,3 +157,13 @@ def test_constant_metric_column_device_matches_host():
     host_sel = np.sort(np.asarray(host_d)[np.asarray(order)[:keep]])
     dev_sel = np.sort(d[np.asarray(res.survivor_idx)])
     np.testing.assert_allclose(dev_sel, host_sel, rtol=1e-5)
+
+
+def test_sharded_vdv_component_selection():
+    """Distributed van der Voet selection inside the fused step."""
+    gen = make_gen(pls_optimal_method="vdv", vdv_permutations=99)
+    res = run_generations(gen, gens=2)
+    assert 1 <= int(res.ncomp_used) <= 2
+    assert np.all(np.isfinite(np.asarray(res.weights)))
+    surv = np.asarray(res.survivor_params)
+    assert np.all(np.isfinite(surv))
