@@ -315,21 +315,28 @@ class AbcSmc:
                 )
                 continue
 
-            if gen.has_posterior:
-                self._predictive_prior.append(gen.predictive_prior_indices())
-            else:
-                order = self._rank_particles(gen.metrics, gen.params)
-                keep = self.config.pred_prior_size_at(t)
-                surv = np.asarray(order)[:keep]
-                self._predictive_prior.append(surv)
-                self.storage.write_posterior_ranks(
-                    gen.serials[surv], np.arange(keep)
-                )
-                reports.filtering_report(
-                    self, t, gen.params[surv], gen.metrics[surv]
-                )
-            self._calculate_predictive_prior_weights(t)
+            self._ingest_complete_set(gen, t)
         return gens
+
+    def _ingest_complete_set(self, gen, t: int):
+        """Fold one complete fitting-mode set into in-memory state: survivors
+        (ranking + rank writeback if the set is unranked) and importance
+        weights. Shared by :meth:`_read_smc_sets` and device-path resume.
+        Expects ``self._particle_parameters``/``_metrics`` already appended."""
+        if gen.has_posterior:
+            self._predictive_prior.append(gen.predictive_prior_indices())
+        else:
+            order = self._rank_particles(gen.metrics, gen.params)
+            keep = self.config.pred_prior_size_at(t)
+            surv = np.asarray(order)[:keep]
+            self._predictive_prior.append(surv)
+            self.storage.write_posterior_ranks(
+                gen.serials[surv], np.arange(keep)
+            )
+            reports.filtering_report(
+                self, t, gen.params[surv], gen.metrics[surv]
+            )
+        self._calculate_predictive_prior_weights(t)
 
     def _rank_particles(self, mets: np.ndarray, pars: np.ndarray) -> np.ndarray:
         if self.config.filter == FilterType.PLS:
@@ -472,14 +479,17 @@ class AbcSmc:
         self, seed: int = 0, mesh=None, verbose: bool = False,
         mirror_store: bool = True,
     ):
-        """Fully on-device SMC run (fitting mode, device simulators): every
-        generation is one fused, mesh-sharded XLA program
-        (abcsmc_tpu.parallel.generation); results are mirrored into the run
-        store afterwards so the database is indistinguishable from a host run
-        (checkpoint/durability/R-vis parity).
+        """Fully on-device SMC run (device simulators): every generation is
+        one fused, mesh-sharded XLA program (abcsmc_tpu.parallel.generation);
+        results are mirrored into the run store afterwards so the database is
+        indistinguishable from a host run (checkpoint/durability/R-vis parity).
 
-        Falls back to :meth:`run` when the configuration can't run on device
-        (projection mode, host simulators, sizes not divisible by the mesh).
+        Populations of any size run (tail pad-and-mask squares them over the
+        mesh). An existing store resumes from wherever it stopped - mid-set
+        included - matching the reference's crash-anywhere resume
+        (src/AbcSmc.cpp:452-479, set-completeness gating at :571-592).
+        Projection sweeps (PSEUDO/POSTERIOR) run through the sharded sweep
+        path. Falls back to :meth:`run` only for host-only simulators.
         """
         from abcsmc_tpu.models.simulators import (
             DeviceSimulator,
@@ -492,29 +502,69 @@ class AbcSmc:
         cfg = self.config
         if mesh is None:
             mesh = particle_mesh()
-        ndev = mesh.devices.size
         device_ok = (
             isinstance(self.simulator, DeviceSimulator)
             and (
                 not isinstance(self.simulator, HostBridgeSimulator)
                 or backend_supports_callbacks()
             )
-            and not cfg.projection_mode
-            and not self.par_set.pseudo_idx
-            and not self.par_set.posterior_idx
-            and all(
-                cfg.smc_size_at(t) % ndev == 0
-                for t in range(cfg.num_smc_sets)
-            )
-            and not self.storage.exists()
         )
         if not device_ok:
             if verbose:
                 sys.stderr.write(
-                    "run_device: configuration not device-runnable, "
+                    "run_device: simulator not device-runnable, "
                     "falling back to host engine\n"
                 )
             return self.run(seed, verbose)
+        if (
+            cfg.projection_mode
+            or self.par_set.pseudo_idx
+            or self.par_set.posterior_idx
+        ):
+            return self._run_device_projection(seed, mesh, verbose)
+
+        # ---- resume: rebuild state from whatever the store already holds ----
+        self._particle_parameters.clear()
+        self._particle_metrics.clear()
+        self._weights.clear()
+        self._predictive_prior.clear()
+        self._doubled_variance.clear()
+        pending = None      # trailing not-yet-complete set, if any
+        t0 = 0              # first set the device loop will run
+        if self.storage.exists():
+            gens = self.storage.read_generations()
+            for g in gens:
+                if g.size != cfg.smc_size_at(g.set_num):
+                    raise StorageError(
+                        f"Set {g.set_num} in configuration file has size "
+                        f"{cfg.smc_size_at(g.set_num)} vs size {g.size} in "
+                        "database.",
+                        code=1,
+                    )
+            n_complete = 0
+            while n_complete < len(gens) and gens[n_complete].complete:
+                n_complete += 1
+            if len(gens) - n_complete > 1:
+                # more than one incomplete set: not a state this engine (or
+                # the reference) produces; let the host path report it
+                return self.run(seed, verbose)
+            if n_complete == len(gens):
+                # store ended exactly at a set boundary: the host brain
+                # ingests state, reports, honors early stopping, and enqueues
+                # the next set (or declares the run finished)
+                self.process_database(seed, verbose)
+                if getattr(self, "_stopped_early", False):
+                    return self
+                gens = self.storage.read_generations()
+                if gens[-1].complete:
+                    return self       # all requested sets already complete
+            else:
+                for t, g in enumerate(gens[:n_complete]):
+                    self._particle_parameters.append(g.params)
+                    self._particle_metrics.append(g.metrics)
+                    self._ingest_complete_set(g, t)
+            pending = gens[-1]
+            t0 = len(gens) - 1
 
         gen = ShardedGeneration(
             self.par_set,
@@ -531,21 +581,45 @@ class AbcSmc:
         )
 
         key = self._key(seed)
-        key, k0 = jax.random.split(key)
-        n0 = cfg.smc_size_at(0)
-        params, seeds = gen.init_population(k0, n0)
-        state = None
+        if pending is not None:
+            # resume: replay the pending population (params + stored
+            # per-particle seeds) fully on device; rows already simulated
+            # reproduce bit-identically (device sims are seed-deterministic)
+            # and the guarded writeback keeps their stored values regardless
+            params = jnp.asarray(pending.params, gen.dtype)
+            seeds = jnp.asarray(pending.seeds.astype(np.uint32))
+            pending_serials = pending.serials
+        else:
+            key, k0 = jax.random.split(key)
+            params, seeds = gen.init_population(k0, cfg.smc_size_at(0))
+            pending_serials = None
+        if t0 > 0:
+            # proposal state from the last ingested set
+            surv = self._predictive_prior[t0 - 1]
+            state = (
+                jnp.asarray(
+                    self._particle_parameters[t0 - 1][surv], gen.dtype
+                ),
+                jnp.asarray(self._weights[t0 - 1], gen.dtype),
+                jnp.asarray(self._doubled_variance[t0 - 1], gen.dtype),
+            )
+        else:
+            state = None
+
         results = []
         pops = []
-        for t in range(cfg.num_smc_sets):
+        for t in range(t0, cfg.num_smc_sets):
             key, kt = jax.random.split(key)
-            n_next = cfg.smc_size_at(min(t + 1, cfg.num_smc_sets - 1))
+            n_t = cfg.smc_size_at(t)
+            last = t + 1 >= cfg.num_smc_sets
+            n_next = 0 if last else cfg.smc_size_at(t + 1)
             res = gen.step(
-                kt, params, seeds, cfg.pred_prior_size_at(t), n_next, state
+                kt, params, seeds, cfg.pred_prior_size_at(t), n_next, state,
+                n_valid=n_t,
             )
-            pops.append((np.asarray(params, np.float64),
-                         np.asarray(seeds, np.uint64),
-                         np.asarray(res.metrics, np.float64)))
+            pops.append((np.asarray(params, np.float64)[:n_t],
+                         np.asarray(seeds, np.uint64)[:n_t],
+                         np.asarray(res.metrics, np.float64)[:n_t]))
             results.append(res)
             state = (
                 res.survivor_params, res.weights, res.doubled_variance
@@ -555,30 +629,36 @@ class AbcSmc:
                 break
 
         # ---- mirror into the run store (schema parity) ----
-        if mirror_store:
+        if mirror_store and not self.storage.exists():
             self.storage.create(
                 self.par_set.short_names(),
                 [m.short_name for m in self.metrics],
                 self.transform.has_any,
             )
-        self._particle_parameters.clear()
-        self._particle_metrics.clear()
-        self._weights.clear()
-        self._predictive_prior.clear()
-        self._doubled_variance.clear()
-        for t, (res, (pars_np, seeds_np, mets_np)) in enumerate(
+        for i, (res, (pars_np, seeds_np, mets_np)) in enumerate(
             zip(results, pops)
         ):
+            t = t0 + i
             surv = np.asarray(res.survivor_idx, np.int64)
-            if mirror_store:
+            ranks = np.full(len(pars_np), -1, np.int64)
+            ranks[surv] = np.arange(len(surv))
+            if mirror_store and t == t0 and pending_serials is not None:
+                # resumed set: rows already exist - guarded writeback (rows
+                # already 'D' keep their stored metrics: first-write-wins)
+                # then rank updates
+                n_rows = len(pending_serials)
+                self.storage.write_results(
+                    pending_serials, mets_np,
+                    np.full(n_rows, int(time.time())), np.zeros(n_rows),
+                )
+                self.storage.write_posterior_ranks(pending_serials, ranks)
+            elif mirror_store:
                 upars = (
                     np.asarray(
                         self.transform.to_model_space(pars_np), np.float64
                     )
                     if self.transform.has_any else None
                 )
-                ranks = np.full(len(pars_np), -1, np.int64)
-                ranks[surv] = np.arange(len(surv))
                 self.storage.insert_generation_complete(
                     t, pars_np, seeds_np, mets_np, upars, ranks
                 )
@@ -592,8 +672,64 @@ class AbcSmc:
             reports.filtering_report(
                 self, t, pars_np[surv], mets_np[surv]
             )
-        reports.report_convergence_data(self, len(results) - 1)
+        reports.report_convergence_data(self, t0 + len(results) - 1)
         return self
+
+    def _run_device_projection(self, seed: int, mesh, verbose: bool):
+        """Projection sweeps (PSEUDO/POSTERIOR grids, src/AbcSmc.cpp:54-137,
+        341-396) on the device path: the population is built by the host
+        odometer exactly as --process would (order parity with ParRNG.h:17-36),
+        then each set is simulated as ONE mesh-sharded XLA program instead of
+        claim-sized host batches."""
+        cfg = self.config
+        for t in range(cfg.num_smc_sets):
+            self.process_database(seed + t, verbose)
+            if getattr(self, "_stopped_early", False):
+                return self
+            self._device_simulate_all(mesh)
+        self.process_database(seed + cfg.num_smc_sets, verbose)
+        return self
+
+    def _device_simulate_all(self, mesh):
+        """Claim every runnable job and simulate the batch as one sharded
+        program over the mesh (the device-side analog of
+        simulate_next_particles(n=-1))."""
+        from abcsmc_tpu.parallel.generation import sharded_simulate
+
+        t0 = time.perf_counter()
+        claimed = self.storage.claim_jobs(-1)
+        t_claim = time.perf_counter() - t0
+        if claimed.serials.size == 0:
+            return
+        start = time.time()
+        t0 = time.perf_counter()
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        mets = sharded_simulate(
+            self.simulator, mesh,
+            jnp.asarray(claimed.params, dtype),
+            jnp.asarray(claimed.seeds.astype(np.uint32)),
+            len(claimed.serials),
+        )
+        t_sim = time.perf_counter() - t0
+        mets = np.asarray(mets, np.float64)
+        if not np.isfinite(mets).all():
+            bad = ~np.isfinite(mets).all(axis=1)
+            sys.stderr.write(
+                f"WARNING: {int(bad.sum())} particle(s) returned non-finite "
+                "metrics; overwriting with DBL_MIN\n"
+            )
+            mets[bad] = np.finfo(np.float64).tiny
+        nrun = len(claimed.serials)
+        t0 = time.perf_counter()
+        self.storage.write_results(
+            claimed.serials, mets,
+            np.full(nrun, int(start)), np.full(nrun, t_sim / max(nrun, 1)),
+        )
+        self.timings.append({
+            "op": "simulate_device", "n": nrun, "claim_s": round(t_claim, 4),
+            "sim_s": round(t_sim, 4),
+            "writeback_s": round(time.perf_counter() - t0, 4),
+        })
 
     # -- results ------------------------------------------------------------------
     @property

@@ -108,10 +108,21 @@ class ShardedGeneration:
     def _replicated(self):
         return NamedSharding(self.mesh, P())
 
+    def _padded(self, n: int) -> int:
+        """Population buffer size: n rounded up to a multiple of the mesh.
+        Rows >= n are padding - real draws, but masked out of every moment,
+        Gram, PRESS, and top-K (distance forced to +inf). This keeps
+        reference-shaped configs (300/1000 samples, examples/reference.json:2-4)
+        on the device path with any device count."""
+        d = self.ndev
+        return -(-n // d) * d
+
     # ------------------------------------------------------------------ gen 0
     def init_population(self, key, n: int):
-        """Sample generation 0 from the priors, shard-local draws."""
-        assert n % self.ndev == 0, (n, self.ndev)
+        """Sample generation 0 from the priors, shard-local draws. Returns
+        buffers of ``self._padded(n)`` rows; rows >= n are padding (valid prior
+        draws a later ``step(..., n_valid=n)`` masks out)."""
+        n = self._padded(n)
         fn = self._init_cache.get(n)
         if fn is None:
             local_n = n // self.ndev
@@ -137,36 +148,59 @@ class ShardedGeneration:
     # ------------------------------------------------------------------ the step
     def step(
         self, key, params, seeds, keep: int, n_next: int,
-        prev_state: tuple | None = None,
+        prev_state: tuple | None = None, n_valid: int | None = None,
     ) -> GenerationResult:
         """Run one full generation. ``prev_state`` is (survivor_params, weights,
         doubled_variance) from the previous generation, or None for the first.
+
+        ``n_valid``: true population size when the input buffers carry padding
+        rows at the tail (as produced by :meth:`init_population` or a previous
+        step whose ``n_next`` didn't divide the mesh). ``n_next = 0`` skips the
+        proposal of the next generation entirely (the final set - the reference
+        also stops proposing there, src/AbcSmc.cpp:526-529).
         """
         return self._step_dispatch(
-            key, params, seeds, keep, n_next, prev_state, include_sim=True
+            key, params, seeds, keep, n_next, prev_state, include_sim=True,
+            n_valid=n_valid,
         )
 
     def step_precomputed(
         self, key, params, metrics, keep: int, n_next: int,
-        prev_state: tuple | None = None,
+        prev_state: tuple | None = None, n_valid: int | None = None,
     ) -> GenerationResult:
         """The generation step with the simulator excluded - metrics are inputs.
         This is the BASELINE.md north-star unit (filter + weight + resample,
         simulator excluded)."""
         return self._step_dispatch(
-            key, params, metrics, keep, n_next, prev_state, include_sim=False
+            key, params, metrics, keep, n_next, prev_state, include_sim=False,
+            n_valid=n_valid,
         )
 
     def _step_dispatch(
-        self, key, params, second, keep, n_next, prev_state, include_sim: bool
+        self, key, params, second, keep, n_next, prev_state, include_sim: bool,
+        n_valid: int | None = None,
     ) -> GenerationResult:
-        n = params.shape[0]
-        assert n % self.ndev == 0 and n_next % self.ndev == 0
+        n_true = params.shape[0] if n_valid is None else int(n_valid)
+        n_pad = self._padded(n_true)
+        assert keep <= n_true, (keep, n_true)
+        if params.shape[0] != n_pad:
+            # host-side tail padding (edge rows: valid values for the
+            # simulator; masked out of all statistics inside the step)
+            extra = n_pad - params.shape[0]
+            assert extra > 0, (params.shape[0], n_pad, n_true)
+            params = jnp.concatenate(
+                [params, jnp.repeat(params[-1:], extra, axis=0)]
+            )
+            second = jnp.concatenate(
+                [second, jnp.repeat(second[-1:], extra, axis=0)]
+            )
         first = prev_state is None
-        cache_key = (n, keep, n_next, first, include_sim)
+        cache_key = (n_pad, n_true, keep, n_next, first, include_sim)
         fn = self._step_cache.get(cache_key)
         if fn is None:
-            fn = self._build_step(n, keep, n_next, first, include_sim)
+            fn = self._build_step(
+                n_pad, keep, n_next, first, include_sim, n_true=n_true
+            )
             self._step_cache[cache_key] = fn
         if first:
             # dummy replicated state keeps the jitted signature uniform
@@ -180,12 +214,16 @@ class ShardedGeneration:
 
     def _build_step(
         self, n: int, keep: int, n_next: int, first: bool,
-        include_sim: bool = True,
+        include_sim: bool = True, n_true: int | None = None,
     ):
         ndev = self.ndev
         local_n = n // ndev
-        local_next = n_next // ndev
-        n_train = min(max(int(n * self.training_fraction + 0.5), 1), n - 1)
+        n_true = n if n_true is None else n_true
+        n_next_pad = self._padded(n_next)
+        local_next = n_next_pad // ndev
+        n_train = min(
+            max(int(n_true * self.training_fraction + 0.5), 1), n_true - 1
+        )
         npar = self.par_set.npar
         nmet = len(self.obs)
         max_comp = min(n_train - 1, nmet)
@@ -215,11 +253,19 @@ class ShardedGeneration:
             else:
                 mets_l = second_l.astype(self.dtype)
 
+            gidx = shard * local_n + jnp.arange(local_n)
+            # padding rows (global index >= n_true) are excluded from every
+            # statistic; they only exist to square the buffer over the mesh
+            vmask = (gidx < n_true).astype(self.dtype)[:, None]   # [ln, 1]
+
             # ---- global metric moments (psum) ----
-            s1 = jax.lax.psum(jnp.sum(mets_l, axis=0), AXIS)
-            s2 = jax.lax.psum(jnp.sum(mets_l * mets_l, axis=0), AXIS)
-            mean = s1 / n
-            sd = jnp.sqrt(jnp.maximum(s2 - n * mean * mean, 0.0) / (n - 1))
+            mv = mets_l * vmask
+            s1 = jax.lax.psum(jnp.sum(mv, axis=0), AXIS)
+            s2 = jax.lax.psum(jnp.sum(mv * mets_l, axis=0), AXIS)
+            mean = s1 / n_true
+            sd = jnp.sqrt(
+                jnp.maximum(s2 - n_true * mean * mean, 0.0) / (n_true - 1)
+            )
             # constant column -> unit scale (same conscious fix as
             # ranking._guard_sd; a tiny-eps floor would blow obs_z up to ~1e30
             # and swamp every informative column)
@@ -227,15 +273,15 @@ class ShardedGeneration:
             zmet_l = (mets_l - mean) / sd
             obs_z = (obs - mean) / sd
 
-            gidx = shard * local_n + jnp.arange(local_n)
-
             if use_pls:
                 # ---- global parameter moments ----
-                p1 = jax.lax.psum(jnp.sum(params_l, axis=0), AXIS)
-                p2 = jax.lax.psum(jnp.sum(params_l * params_l, axis=0), AXIS)
-                pmean = p1 / n
+                pv = params_l * vmask
+                p1 = jax.lax.psum(jnp.sum(pv, axis=0), AXIS)
+                p2 = jax.lax.psum(jnp.sum(pv * params_l, axis=0), AXIS)
+                pmean = p1 / n_true
                 psd = jnp.sqrt(
-                    jnp.maximum(p2 - n * pmean * pmean, 0.0) / (n - 1)
+                    jnp.maximum(p2 - n_true * pmean * pmean, 0.0)
+                    / (n_true - 1)
                 )
                 psd = jnp.where(psd <= eps, 1.0, psd)
                 zpar_l = (params_l - pmean) / psd
@@ -252,7 +298,7 @@ class ShardedGeneration:
                 contribs = t_val[:, :, None] * Q.T[None, :, :]    # [ln, A, p]
                 preds = jnp.cumsum(contribs, axis=1)
                 resid = zpar_l[:, None, :] - preds
-                test = 1.0 - train
+                test = vmask - train   # held-out rows, padding excluded
                 sq = resid * resid * test[:, :, None]             # [ln, A, p]
                 press = jax.lax.psum(jnp.sum(sq, axis=0), AXIS)   # [A, p]
 
@@ -298,6 +344,8 @@ class ShardedGeneration:
                 diff = zmet_l - obs_z[None, :]
                 d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
                 ncomp_used = jnp.int32(0)
+            # padding rows rank last, so they can never enter the top-K
+            d_l = jnp.where(gidx < n_true, d_l, jnp.asarray(jnp.inf, self.dtype))
 
             # ---- global top-K: local top-k, all_gather candidates, re-top-k ----
             neg_loc, loc_idx = jax.lax.top_k(-d_l, k_local)
@@ -348,6 +396,16 @@ class ShardedGeneration:
                 w = jnp.exp(log_w)
                 w = w / jnp.sqrt(jnp.sum(w * w))  # L2-normalize (parity quirk)
 
+            if local_next == 0:
+                # final generation: no next set is proposed (the reference
+                # likewise only proposes while sets remain,
+                # src/AbcSmc.cpp:520-529); skipping it removes an O(N2)
+                # resample+perturb from the last step
+                return (
+                    mets_l, d_l, surv_gidx, surv_par, surv_met, w, dv,
+                    ncomp_used,
+                )
+
             # ---- propose next generation, shard-locally ----
             k_shard = jax.random.fold_in(key, shard)
             k_pick, k_noise, k_seed = jax.random.split(k_shard, 3)
@@ -381,22 +439,38 @@ class ShardedGeneration:
 
         sharded = P(AXIS)
         rep = P()
+        if local_next == 0:
+            out_specs = (
+                sharded, sharded, rep, rep, rep, rep, rep, rep
+            )
+        else:
+            out_specs = (
+                sharded, sharded, rep, rep, rep, rep, rep, sharded, sharded, rep
+            )
         mapped = jax.shard_map(
             local_step,
             mesh=self.mesh,
             in_specs=(rep, sharded, sharded, rep, rep, rep),
-            out_specs=(
-                sharded, sharded, rep, rep, rep, rep, rep, sharded, sharded, rep
-            ),
+            out_specs=out_specs,
             check_vma=False,
         )
 
         jitted = jax.jit(mapped)
 
-        def step_fn(key, params, seeds, prev_par, prev_w, prev_dv):
-            return GenerationResult(
-                *jitted(key, params, seeds, prev_par, prev_w, prev_dv)
-            )
+        if local_next == 0:
+            empty_par = jnp.zeros((0, npar), self.dtype)
+            empty_seeds = jnp.zeros((0,), jnp.uint32)
+
+            def step_fn(key, params, seeds, prev_par, prev_w, prev_dv):
+                outs = jitted(key, params, seeds, prev_par, prev_w, prev_dv)
+                return GenerationResult(
+                    *outs[:7], empty_par, empty_seeds, outs[7]
+                )
+        else:
+            def step_fn(key, params, seeds, prev_par, prev_w, prev_dv):
+                return GenerationResult(
+                    *jitted(key, params, seeds, prev_par, prev_w, prev_dv)
+                )
 
         return step_fn
 
@@ -411,9 +485,10 @@ class ShardedGeneration:
         result = None
         for t in range(len(set_sizes)):
             key, kt = jax.random.split(key)
-            n_next = set_sizes[t + 1] if t + 1 < len(set_sizes) else set_sizes[t]
+            n_next = set_sizes[t + 1] if t + 1 < len(set_sizes) else 0
             result = self.step(
-                kt, params, seeds, keep_sizes[t], n_next, state
+                kt, params, seeds, keep_sizes[t], n_next, state,
+                n_valid=set_sizes[t],
             )
             state = (
                 result.survivor_params, result.weights, result.doubled_variance
@@ -421,3 +496,30 @@ class ShardedGeneration:
             history.append(state)
             params, seeds = result.next_params, result.next_seeds
         return result, history
+
+
+def sharded_simulate(simulator, mesh: Mesh, upars, seeds, n_valid: int):
+    """Run a DeviceSimulator over the particle mesh as one SPMD program:
+    model-space parameter rows are tail-padded to a mesh multiple, each shard
+    simulates its slice, and the result is trimmed back to ``n_valid`` rows.
+
+    This shards the reference's claim-and-run worker unit (the --simulate
+    batch, src/AbcSmc.cpp:967-1039) and the projection sweep's simulation
+    (src/AbcSmc.cpp:54-137) without any SMC math attached."""
+    ndev = mesh.devices.size
+    n_pad = -(-n_valid // ndev) * ndev
+    upars = jnp.asarray(upars)
+    seeds = jnp.asarray(seeds)
+    if upars.shape[0] != n_pad:
+        extra = n_pad - upars.shape[0]
+        upars = jnp.concatenate([upars, jnp.repeat(upars[-1:], extra, axis=0)])
+        seeds = jnp.concatenate([seeds, jnp.repeat(seeds[-1:], extra)])
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda u, s: simulator.batch_fn(u, s),
+            mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )
+    return np.asarray(fn(upars, seeds))[:n_valid]

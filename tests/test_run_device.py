@@ -137,3 +137,137 @@ def test_nrmse_early_stopping():
     gens = abc2.storage.read_generations()
     assert all(g.complete for g in gens)
     assert len(gens) == len(abc2._weights)
+
+
+def test_run_device_non_divisible_population(tmp_path):
+    """Reference-shaped sizes (not divisible by the 8-device mesh) stay on the
+    device path via tail pad-and-mask (examples/reference.json uses 300/1000).
+    The store must contain exactly the configured rows - no padding leaks."""
+    db = str(tmp_path / "odd.sqlite")
+    cfg = dice_cfg(db, n=100)          # 100 % 8 != 0
+    del cfg["predictive_prior_fraction"]
+    cfg["predictive_prior_size"] = 25  # 25 % 8 != 0
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
+    abc.run_device(seed=7)
+
+    conn = sqlite3.connect(db)
+    sets = conn.execute(
+        "select smcSet, count(*), sum(status='D'), sum(posterior > -1) "
+        "from job group by smcSet"
+    ).fetchall()
+    conn.close()
+    assert sets == [(0, 100, 100, 25), (1, 100, 100, 25), (2, 100, 100, 25)]
+    pars, w = abc.posterior()
+    assert pars.shape == (25, 2)
+    assert np.all(np.isfinite(w))
+    for t in range(3):
+        assert abc._particle_parameters[t].shape == (100, 2)
+        assert abc._particle_metrics[t].shape == (100, 2)
+        assert np.isfinite(abc._particle_metrics[t]).all()
+
+
+def test_run_device_resumes_half_simulated_store(tmp_path):
+    """Device-side resume (reference crash-anywhere property,
+    src/AbcSmc.cpp:452-479): a store with set 0 half simulated is picked up
+    by run_device, already-written metrics are kept (first-write-wins), and
+    the run completes entirely on device."""
+    db = str(tmp_path / "half.sqlite")
+    sim = make_dice_simulator(max_dice=50)
+    abc = AbcSmc(dice_cfg(db), simulator=sim)
+    abc.build_database(seed=9)
+    abc.simulate_next_particles(n=24)   # 24 of 64 rows of set 0
+    conn = sqlite3.connect(db)
+    before = conn.execute(
+        "select m.serial, m.sum, m.sd from met m, job j "
+        "where m.serial = j.serial and j.status = 'D' order by m.serial"
+    ).fetchall()
+    conn.close()
+    assert len(before) == 24
+    abc.storage.close()
+
+    abc2 = AbcSmc(dice_cfg(db), simulator=sim)
+    abc2.run_device(seed=21)
+    conn = sqlite3.connect(db)
+    sets = conn.execute(
+        "select smcSet, count(*), sum(status='D'), sum(posterior > -1) "
+        "from job group by smcSet"
+    ).fetchall()
+    after = conn.execute(
+        "select m.serial, m.sum, m.sd from met m "
+        f"where m.serial in ({','.join(str(r[0]) for r in before)}) "
+        "order by m.serial"
+    ).fetchall()
+    conn.close()
+    assert sets == [(0, 64, 64, 16), (1, 64, 64, 16), (2, 64, 64, 16)]
+    assert after == before   # stored results not overwritten
+
+    # posterior agrees with a pure host continuation of the same checkpoint
+    pars, _ = abc2.posterior()
+    assert abs(pars[:, 0].mean() - 9.4) < 8
+    assert abs(pars[:, 1].mean() - 8.4) < 8
+
+
+def test_run_device_resumes_at_set_boundary(tmp_path):
+    """A finished shorter run extends on the device path when the config asks
+    for more sets (reference behavior: --process proposes the next set)."""
+    db = str(tmp_path / "extend.sqlite")
+    sim = make_dice_simulator(max_dice=50)
+    cfg2 = dice_cfg(db)
+    cfg2["smc_iterations"] = 2
+    AbcSmc(cfg2, simulator=sim).run_device(seed=5)
+
+    cfg4 = dice_cfg(db)
+    cfg4["smc_iterations"] = 4
+    abc = AbcSmc(cfg4, simulator=sim)
+    abc.run_device(seed=6)
+    conn = sqlite3.connect(db)
+    sets = conn.execute(
+        "select smcSet, count(*), sum(status='D'), sum(posterior > -1) "
+        "from job group by smcSet"
+    ).fetchall()
+    conn.close()
+    assert sets == [(t, 64, 64, 16) for t in range(4)]
+    assert len(abc._weights) == 4
+    # idempotent: running again reports completion, changes nothing
+    abc3 = AbcSmc(cfg4, simulator=sim)
+    abc3.run_device(seed=8)
+    assert len(abc3._weights) == 4
+
+
+def test_run_device_projection_sweep(tmp_path):
+    """PSEUDO sweeps run sharded on the device path (src/AbcSmc.cpp:54-137):
+    same odometer order (first parameter fastest, ParRNG.h:17-36 semantics),
+    simulated as one mesh program."""
+    import jax.numpy as jnp
+    from abcsmc_tpu.models.simulators import DeviceSimulator
+
+    db = str(tmp_path / "proj_dev.sqlite")
+    cfg = {
+        "database_filename": db,
+        "parameters": [
+            {"name": "a", "dist_type": "PSEUDO", "num_type": "INT",
+             "par1": 1, "par2": 3},
+            {"name": "b", "dist_type": "PSEUDO", "num_type": "FLOAT",
+             "vals": [0.5, 1.5]},
+        ],
+        "metrics": [
+            {"name": "m1", "num_type": "FLOAT", "value": 0},
+            {"name": "m2", "num_type": "FLOAT", "value": 0},
+        ],
+    }
+    echo = DeviceSimulator(lambda p, key: jnp.asarray(p), nmet=2)
+    abc = AbcSmc(cfg, simulator=echo)
+    abc.run_device(seed=0)
+
+    conn = sqlite3.connect(db)
+    rows = conn.execute(
+        "select p.a, p.b, m.m1, m.m2, j.status from par p, met m, job j "
+        "where p.serial = m.serial and p.serial = j.serial order by p.serial"
+    ).fetchall()
+    conn.close()
+    assert [(r[0], r[1]) for r in rows] == [
+        (1.0, 0.5), (2.0, 0.5), (3.0, 0.5), (1.0, 1.5), (2.0, 1.5), (3.0, 1.5),
+    ]
+    for a, b, m1, m2, status in rows:
+        assert (m1, m2) == (a, b)
+        assert status == "D"

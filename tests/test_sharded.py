@@ -167,3 +167,62 @@ def test_sharded_vdv_component_selection():
     assert np.all(np.isfinite(np.asarray(res.weights)))
     surv = np.asarray(res.survivor_params)
     assert np.all(np.isfinite(surv))
+
+
+def test_padding_mask_matches_single_device():
+    """A non-divisible population on the 8-device mesh (tail pad-and-mask)
+    must produce the same survivors/weights as the same data on a 1-device
+    mesh with no padding: masked rows are provably excluded from moments,
+    PLS Grams, PRESS, and the top-K."""
+    n, keep = 60, 13           # 60 % 8 != 0, 13 % 8 != 0
+    rng = np.random.default_rng(3)
+    params = jnp.asarray(rng.integers(1, 51, size=(n, 2)), jnp.float64)
+    mets = jnp.asarray(rng.normal(size=(n, 2)) + np.asarray(params), jnp.float64)
+    state = (
+        jnp.asarray(rng.uniform(5, 45, size=(7, 2))),
+        jnp.asarray(rng.uniform(0.5, 1.5, size=(7,))),
+        jnp.asarray([4.0, 4.0]),
+    )
+    key = jax.random.PRNGKey(5)
+
+    g8 = make_gen(dtype=jnp.float64)
+    g1 = make_gen(n_devices=1, dtype=jnp.float64)
+    r8 = g8.step_precomputed(key, params, mets, keep, 0, state)
+    r1 = g1.step_precomputed(key, params, mets, keep, 0, state)
+
+    np.testing.assert_array_equal(
+        np.asarray(r8.survivor_idx), np.asarray(r1.survivor_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.weights), np.asarray(r1.weights), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.doubled_variance), np.asarray(r1.doubled_variance),
+        rtol=1e-9,
+    )
+    assert int(r8.ncomp_used) == int(r1.ncomp_used)
+    # distances buffer is padded to 64; the 4 padding rows rank +inf
+    d8 = np.asarray(r8.distances)
+    assert d8.shape == (64,)
+    assert np.all(np.isinf(d8[60:]))
+    assert np.all(np.isfinite(d8[:60]))
+
+
+def test_step_without_proposal():
+    """n_next=0 (the final generation) skips the resample+perturb entirely and
+    returns empty next buffers; all survivor outputs are unchanged."""
+    gen = make_gen()
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    params, seeds = gen.init_population(k0, 64)
+    key, kt = jax.random.split(key)
+    r_with = gen.step(kt, params, seeds, 16, 64, None)
+    r_without = gen.step(kt, params, seeds, 16, 0, None)
+    assert r_without.next_params.shape == (0, 2)
+    assert r_without.next_seeds.shape == (0,)
+    np.testing.assert_array_equal(
+        np.asarray(r_with.survivor_idx), np.asarray(r_without.survivor_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_with.weights), np.asarray(r_without.weights)
+    )
