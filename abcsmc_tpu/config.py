@@ -31,9 +31,10 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    ranking (the reference's TODO at src/AbcUtil.cpp:430)
   ``nrmse_tolerance``  stop the run() / run_device() loops early once the
                    posterior metric means' NRMSE drops below this (0 = off)
-  ``pls_optimal_method``  "tolerance" (default: fewest components within 10%
-                   of min PRESS) or "vdv" (van der Voet randomization test,
-                   the rule upstream tjhladish/PLS uses)
+  ``pls_optimal_method``  "vdv" (default: van der Voet randomization test,
+                   the rule upstream tjhladish/PLS uses) or "tolerance"
+                   (fewest components within 10% of min PRESS); see
+                   docs/PARITY.md for the numerical comparison
 """
 
 from __future__ import annotations
@@ -152,7 +153,7 @@ class SmcConfig:
     max_retries: int = 1000
     box_cox: bool = False
     nrmse_tolerance: float = 0.0
-    pls_optimal_method: str = "tolerance"
+    pls_optimal_method: str = "vdv"
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -505,7 +506,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         max_retries=int(par.get("max_retries", 1000)),
         box_cox=bool(par.get("box_cox", False)),
         nrmse_tolerance=float(par.get("nrmse_tolerance", 0.0)),
-        pls_optimal_method=str(par.get("pls_optimal_method", "tolerance")),
+        pls_optimal_method=str(par.get("pls_optimal_method", "vdv")),
         projection_mode=projection,
         raw=par,
     )

@@ -75,13 +75,14 @@ def ranking_simple(metric_vals, obs_row):
 
 def pls_scores_for_ranking(
     metric_vals, param_vals, obs_row, training_fraction: float,
-    max_components: int | None = None, optimal_method: str = "tolerance",
+    max_components: int | None = None, optimal_method: str = "vdv",
 ):
     """Fit + component selection + projection; returns (sim_scores, obs_scores,
     num_components_used). Split out so the sharded path can reuse it.
 
-    ``optimal_method``: "tolerance" (PRESS within 10% of min) or "vdv"
-    (van der Voet randomization test with a fixed key - deterministic)."""
+    ``optimal_method``: "vdv" (default - van der Voet randomization test with
+    a fixed key, deterministic; the rule upstream tjhladish/PLS applies at
+    src/AbcUtil.cpp:446-449) or "tolerance" (PRESS within 10% of min)."""
     x = jnp.asarray(metric_vals)
     y = jnp.asarray(param_vals)
     n = x.shape[0]
@@ -116,7 +117,7 @@ def pls_scores_for_ranking(
 def ranking_pls(
     metric_vals, param_vals, obs_row, training_fraction: float,
     max_components: int | None = None, box_cox: bool = False,
-    optimal_method: str = "tolerance",
+    optimal_method: str = "vdv",
 ):
     """Full ascending order of particles by PLS-score distance
     (src/AbcUtil.cpp:423-458)."""

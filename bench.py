@@ -20,19 +20,44 @@ import sys
 import time
 
 
-def _accelerator_reachable(timeout_s: float = 120.0) -> bool:
+def _accelerator_reachable(total_budget_s: float = 420.0) -> bool:
     """Probe the accelerator in a subprocess: a wedged PJRT tunnel hangs
-    jax.devices() forever, which would swallow the benchmark. If the probe
-    can't come up, fall back to CPU so ONE json line always prints."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert jax.devices()[0].platform != 'cpu'"],
-            timeout=timeout_s, capture_output=True,
+    jax.devices() forever, which would swallow the benchmark. Wedged tunnel
+    sessions recover after a server-side timeout, so retry with backoff
+    across the whole budget (several minutes) before surrendering the
+    round's only TPU artifact. Falls back to CPU only after that, so ONE
+    json line always prints."""
+    total_budget_s = float(
+        os.environ.get("ABCSMC_BENCH_PROBE_BUDGET", total_budget_s)
+    )
+    deadline = time.time() + total_budget_s
+    attempt_timeout = 120.0
+    attempt = 0
+    while True:
+        attempt += 1
+        budget_left = deadline - time.time()
+        if budget_left <= 5 and attempt > 1:
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
+                timeout=max(attempt_timeout, min(60.0, budget_left)),
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        sys.stderr.write(
+            f"bench: accelerator probe attempt {attempt} failed; "
+            f"{max(deadline - time.time(), 0):.0f}s of probe budget left\n"
         )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+        if time.time() >= deadline:
+            return False
+        # give a wedged tunnel session time to expire server-side
+        time.sleep(min(30.0, max(deadline - time.time(), 1.0)))
+        attempt_timeout = min(attempt_timeout * 1.5, 300.0)
 
 
 if os.environ.get("ABCSMC_BENCH_SKIP_PROBE") != "1" and not _accelerator_reachable():
@@ -62,9 +87,11 @@ NPAR = 6
 NMET = 13
 TARGET_S = 1.0
 
-if jax.default_backend() == "cpu":
+CPU_FALLBACK = jax.default_backend() == "cpu"
+if CPU_FALLBACK:
     # emergency fallback (accelerator unreachable): shrink so the line still
-    # prints in reasonable time; the metric string records the platform
+    # prints in reasonable time; the metric is renamed and vs_baseline nulled
+    # so a fallback can never read as a TPU measurement
     N, KEEP = 100_000, 5_000
 
 
@@ -120,29 +147,47 @@ def main():
         res = gen.step_precomputed(k, params, mets, KEEP, N, prev_state)
         return res
 
+    def sync(res):
+        # block_until_ready is unreliable on the tunneled axon backend; a
+        # one-scalar device_get proves the whole program retired
+        np.asarray(jax.device_get(res.next_params.ravel()[0]))
+
     # compile + warmup
-    res = run(key)
-    jax.block_until_ready(res.next_params)
+    sync(run(key))
 
     times = []
     for i in range(5):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        res = run(k)
-        jax.block_until_ready(res.next_params)
+        sync(run(k))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    print(json.dumps({
-        "metric": (
-            f"SMC generation, {N} particles ({NPAR} pars x {NMET} mets, "
-            f"keep {KEEP}): PLS filter + mixture weights + resample, "
-            f"sim excluded, {ndev} {jax.default_backend()} device(s)"
-        ),
-        "value": round(best, 4),
-        "unit": "s",
-        "vs_baseline": round(TARGET_S / best, 2),
-    }))
+    if CPU_FALLBACK:
+        # a 100k CPU run scored against the 1M TPU target would be
+        # meaningless - distinct name, null score
+        print(json.dumps({
+            "metric": (
+                f"CPU-FALLBACK (accelerator unreachable - NOT the TPU "
+                f"north star): SMC generation, {N} particles ({NPAR} pars "
+                f"x {NMET} mets, keep {KEEP}), sim excluded, {ndev} cpu "
+                f"device(s)"
+            ),
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+        }))
+    else:
+        print(json.dumps({
+            "metric": (
+                f"SMC generation, {N} particles ({NPAR} pars x {NMET} mets, "
+                f"keep {KEEP}): PLS filter + mixture weights + resample, "
+                f"sim excluded, {ndev} {jax.default_backend()} device(s)"
+            ),
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": round(TARGET_S / best, 2),
+        }))
 
 
 if __name__ == "__main__":

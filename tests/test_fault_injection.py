@@ -1,0 +1,212 @@
+"""Fault-injection soaks for the queue layer: real SIGKILLed workers (python
+engine and the native abcq pool), not just simulated claim overlap.
+
+At-least-once semantics under crashes (reference anchors:
+src/AbcSmc.cpp:983-991 claim ordered by (status, attempts);
+src/AbcSmc.cpp:1017-1029 guarded first-write-wins writeback):
+a worker killed -9 mid-batch leaves its claims 'R'; a later pass re-claims
+them (attempts incremented) and completes; rows already 'D' are never
+overwritten.
+
+Set ABCSMC_SOAK=1 to run the large (100k-job dengue-surrogate) variant.
+"""
+
+import os
+import signal
+import sqlite3
+import stat
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from abcsmc_tpu.engine import AbcSmc
+from abcsmc_tpu.models.simulators import PySimulator
+
+SOAK = os.environ.get("ABCSMC_SOAK") == "1"
+N_JOBS = 100_000 if SOAK else 48
+NPAR, NMET = (6, 13) if SOAK else (2, 2)
+
+
+def surrogate_cfg(tmp_path, n=N_JOBS):
+    """Dengue-surrogate shaped store (6 pars x 13 mets under ABCSMC_SOAK)."""
+    return {
+        "smc_iterations": 1,
+        "num_samples": n,
+        "predictive_prior_fraction": 0.25,
+        "database_filename": str(tmp_path / "soak.sqlite"),
+        "parameters": [
+            {"name": f"p{i}", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": 0.0, "par2": 1.0}
+            for i in range(NPAR)
+        ],
+        "metrics": [
+            {"name": f"m{j}", "num_type": "FLOAT", "value": 0.5}
+            for j in range(NMET)
+        ],
+    }
+
+
+def _build(tmp_path):
+    cfg = surrogate_cfg(tmp_path)
+    abc = AbcSmc(cfg, simulator=PySimulator(lambda p, s, ser: list(p) * (
+        NMET // NPAR) + list(p)[: NMET % NPAR]))
+    abc.build_database(seed=0)
+    abc.storage.close()
+    return cfg
+
+
+def _counts(db):
+    conn = sqlite3.connect(db)
+    q, r, d, max_att = conn.execute(
+        "select sum(status='Q'), sum(status='R'), sum(status='D'), "
+        "max(attempts) from job"
+    ).fetchone()
+    conn.close()
+    return (q or 0, r or 0, d or 0, max_att or 0)
+
+
+def _wait_for(db, pred, timeout=30.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred(_counts(db)):
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_sigkill_python_worker_reclaim_and_finish(tmp_path):
+    """kill -9 a claim-and-run python worker mid-batch: its 'R' rows are
+    re-claimed (ordered after fresh 'Q' rows, attempts -> 2) and the run
+    completes with every metric written exactly once."""
+    cfg = _build(tmp_path)
+    db = cfg["database_filename"]
+
+    import json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    json_cfg = json.dumps(cfg)
+    worker_src = f"""
+import sys, time, json
+sys.path.insert(0, {repo_root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from abcsmc_tpu.engine import AbcSmc
+from abcsmc_tpu.models.simulators import PySimulator
+
+def slow_sim(p, s, serial):
+    time.sleep(0.25)   # slow enough that SIGKILL lands mid-batch
+    return list(p) * ({NMET} // {NPAR}) + list(p)[: {NMET} % {NPAR}]
+
+abc = AbcSmc(json.loads({json_cfg!r}), simulator=PySimulator(slow_sim))
+for _ in range(100000):
+    abc.simulate_next_particles(n=2)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", worker_src])
+    try:
+        # wait until the worker holds live claims, then murder it
+        assert _wait_for(db, lambda c: c[1] >= 1 or c[2] >= 1)
+        assert _wait_for(db, lambda c: c[1] >= 1)
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    q, r, d, _ = _counts(db)
+    assert r >= 1, "kill did not land mid-batch"
+    conn = sqlite3.connect(db)
+    stuck = [row[0] for row in conn.execute(
+        "select serial from job where status = 'R'"
+    )]
+    # the dead worker's claims: attempts=1, metrics unwritten
+    for s in stuck:
+        att, m0 = conn.execute(
+            f"select j.attempts, m.m0 from job j, met m "
+            f"where j.serial = {s} and m.serial = {s}"
+        ).fetchone()
+        assert att == 1 and m0 is None
+    done_before = {
+        row[0]: row[1] for row in conn.execute(
+            "select m.serial, m.m0 from met m, job j "
+            "where m.serial = j.serial and j.status = 'D'"
+        )
+    }
+    conn.close()
+
+    # a healthy worker drains the queue: fresh 'Q' rows first (status
+    # ordering), then the stuck 'R' rows (re-claim, attempts -> 2)
+    abc = AbcSmc(cfg, simulator=PySimulator(
+        lambda p, s, ser: list(p) * (NMET // NPAR) + list(p)[: NMET % NPAR]))
+    abc.simulate_next_particles(n=-1)
+    q, r, d, max_att = _counts(db)
+    assert (q, r, d) == (0, 0, N_JOBS)
+    assert max_att == 2
+
+    conn = sqlite3.connect(db)
+    for s in stuck:
+        att, m0 = conn.execute(
+            f"select j.attempts, m.m0 from job j, met m "
+            f"where j.serial = {s} and m.serial = {s}"
+        ).fetchone()
+        assert att == 2 and m0 is not None and np.isfinite(m0)
+    # first-write-wins: rows completed before the crash keep their metrics
+    for s, m0 in done_before.items():
+        now = conn.execute(f"select m0 from met where serial = {s}").fetchone()
+        assert now[0] == m0
+    conn.close()
+
+
+@pytest.mark.skipif(
+    os.environ.get("ABCSMC_SKIP_NATIVE") == "1", reason="native disabled"
+)
+def test_sigkill_native_pool_reclaim_and_finish(tmp_path):
+    """kill -9 the native abcq pool mid-run: claims stay 'R', a fresh pool
+    re-claims and completes everything."""
+    from abcsmc_tpu.native import run_workers
+
+    cfg = _build(tmp_path)
+    db = cfg["database_filename"]
+
+    script = tmp_path / "slow_sim.py"
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, time\n"
+        "time.sleep(0.3)\n"
+        f"print(' '.join(sys.argv[1:{NPAR + 1}] * ({NMET} // {NPAR}) "
+        f"+ sys.argv[1:{NMET} % {NPAR} + 1]))\n"
+    )
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+
+    pool_src = (
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from abcsmc_tpu.native import run_workers\n"
+        f"run_workers({db!r}, 'python3 {script}', -1, 4, chunk_size=4)\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", pool_src])
+    try:
+        assert _wait_for(db, lambda c: c[1] >= 2)
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    # reap any orphaned sim children so they don't hold claims forever
+    subprocess.run(["pkill", "-9", "-f", str(script)], capture_output=True)
+    time.sleep(0.3)
+
+    q, r, d, _ = _counts(db)
+    assert r >= 1, "kill did not land mid-batch"
+
+    done = run_workers(db, f"python3 {script}", n_jobs=-1, n_workers=6)
+    q, r, d, max_att = _counts(db)
+    assert (q, r, d) == (0, 0, N_JOBS)
+    assert max_att >= 2
+    assert done >= 1
+    conn = sqlite3.connect(db)
+    nulls = conn.execute("select count(*) from met where m0 is null").fetchone()
+    assert nulls[0] == 0
+    conn.close()
