@@ -76,8 +76,9 @@ class ShardedGeneration:
         max_pls_components: int | None = None,
         max_retries: int = 1000,
         dtype=jnp.float32,
-        pls_optimal_method: str = "tolerance",
+        pls_optimal_method: str = "vdv",
         vdv_permutations: int = 199,
+        vdv_max_rows: int = 131_072,
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -98,6 +99,7 @@ class ShardedGeneration:
         self.dtype = dtype
         self.pls_optimal_method = pls_optimal_method
         self.vdv_permutations = int(vdv_permutations)
+        self.vdv_max_rows = int(vdv_max_rows)
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -293,31 +295,54 @@ class ShardedGeneration:
                 xty = jax.lax.psum(xm.T @ (zpar_l * train), AXIS)
                 R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
 
-                # ---- NEW_DATA CV on the test rows (PRESS psum) ----
-                t_val = zmet_l @ R                                # [ln, A]
-                contribs = t_val[:, :, None] * Q.T[None, :, :]    # [ln, A, p]
-                preds = jnp.cumsum(contribs, axis=1)
-                resid = zpar_l[:, None, :] - preds
+                # ---- NEW_DATA CV on the test rows, via Grams ----
+                # PRESS[a,j] = sum_i test_i (y_ij - sum_{c<=a} T_ic Q_jc)^2
+                # expands to diag(Y'Y) - 2 prefix_c(Q.T * T'Y)
+                #           + prefix2d_cc'(T'T * Q_jc Q_jc'), all on the tiny
+                # test-set Grams - no [N, A, p] residual tensors ever touch
+                # HBM (they dominated this step's bandwidth at 1M particles).
+                T_l = zmet_l @ R                                  # [ln, A]
                 test = vmask - train   # held-out rows, padding excluded
-                sq = resid * resid * test[:, :, None]             # [ln, A, p]
-                press = jax.lax.psum(jnp.sum(sq, axis=0), AXIS)   # [A, p]
+                Tt = T_l * test
+                G = jax.lax.psum(Tt.T @ (zpar_l * test), AXIS)    # [A, p]
+                H = jax.lax.psum(Tt.T @ Tt, AXIS)                 # [A, A]
+                yty = jax.lax.psum(
+                    jnp.sum(zpar_l * zpar_l * test, axis=0), AXIS
+                )                                                 # [p]
+                QT = Q.T                                          # [A, p]
+                term2 = 2.0 * jnp.cumsum(G * QT, axis=0)
+                Z = H[:, :, None] * QT[:, None, :] * QT[None, :, :]
+                S = jnp.diagonal(
+                    jnp.cumsum(jnp.cumsum(Z, axis=0), axis=1),
+                    axis1=0, axis2=1,
+                ).T                                               # [A, p]
+                press = yty[None, :] - term2 + S
 
                 if self.pls_optimal_method == "vdv":
                     # van der Voet randomization test, distributed: the
-                    # T-statistics are row sums, so per-shard partials psum;
-                    # train rows contribute zero differences (harmless - both
-                    # T_obs and every T* scale by the same row count)
+                    # T-statistics are row sums, so per-shard partials psum.
+                    # Per-row squared errors are only needed here, and only on
+                    # a capped subset of rows (the test keeps essentially full
+                    # power at ~1e5 rows; below the cap it uses every row and
+                    # is exact).
+                    cap = max(-(-int(self.vdv_max_rows) // ndev), 1)
+                    nsub = min(local_n, cap)
+                    t_s = T_l[:nsub]                              # [ns, A]
+                    contribs = t_s[:, :, None] * QT[None, :, :]   # [ns, A, p]
+                    preds = jnp.cumsum(contribs, axis=1)
+                    resid = zpar_l[:nsub, None, :] - preds
+                    sq = resid * resid * test[:nsub, :, None]     # [ns, A, p]
                     best = jnp.argmin(press, axis=0)              # [p]
                     best_err = jnp.take_along_axis(
-                        sq, best[None, None, :].repeat(local_n, 0), axis=1
-                    )                                              # [ln,1,p]
-                    dd = sq - best_err                             # [ln,A,p]
+                        sq, best[None, None, :].repeat(nsub, 0), axis=1
+                    )                                             # [ns, 1, p]
+                    dd = sq - best_err                            # [ns, A, p]
                     t_obs = jax.lax.psum(jnp.sum(dd, axis=0), AXIS)
                     sgn = jax.random.rademacher(
                         jax.random.fold_in(
                             jax.random.fold_in(key, 98321), shard
                         ),
-                        (self.vdv_permutations, local_n), self.dtype,
+                        (self.vdv_permutations, nsub), self.dtype,
                     )
                     t_perm = jax.lax.psum(
                         jnp.einsum("kn,nap->kap", sgn, dd), AXIS
@@ -336,8 +361,8 @@ class ShardedGeneration:
                 ).astype(self.dtype)[None, :]
                 R_used = R * col_mask
 
-                scores_l = zmet_l @ R_used
-                obs_scores = obs_z @ R_used
+                scores_l = T_l * col_mask      # reuse: T_l == zmet_l @ R
+                obs_scores = (obs_z @ R) * col_mask[0]
                 diff = scores_l - obs_scores[None, :]
                 d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
             else:
