@@ -226,3 +226,59 @@ def test_step_without_proposal():
     np.testing.assert_allclose(
         np.asarray(r_with.weights), np.asarray(r_without.weights)
     )
+
+
+def test_device_step_matches_host_implementation():
+    """Cross-implementation oracle: the fused sharded step (psum'd moments,
+    Gram-PRESS, distributed top-K, sharded weight kernel) must agree with the
+    independently-written host path (ops.ranking row-based z-scoring/CV +
+    ops.weights streaming kernel) on identical inputs. This certifies
+    correctness against a second implementation, not just stability."""
+    from abcsmc_tpu.ops import ranking, stats, weights
+
+    n, keep, npar, nmet = 96, 24, 2, 2
+    rng = np.random.default_rng(11)
+    params = jnp.asarray(rng.integers(1, 51, (n, npar)), jnp.float64)
+    mets = jnp.asarray(
+        np.asarray(params) @ rng.normal(size=(npar, nmet))
+        + 0.4 * rng.normal(size=(n, nmet))
+    )
+    obs = np.array([44.0, 2.39925])
+    prev_par = jnp.asarray(rng.uniform(5, 45, (keep, npar)))
+    prev_w = jnp.asarray(rng.uniform(0.5, 1.5, (keep,)))
+    prev_w = prev_w / jnp.linalg.norm(prev_w)
+    prev_dv = jnp.asarray([4.0, 4.0])
+
+    # host implementation (row-based)
+    order, dists = ranking.ranking_pls(
+        mets, params, jnp.asarray(obs), 0.5, optimal_method="tolerance"
+    )
+    host_surv = np.asarray(order)[:keep]
+    host_pars = params[host_surv]
+    host_w = np.asarray(weights.weight_predictive_prior(
+        host_pars, prev_par, prev_w, prev_dv,
+        make_gen().par_set.prior_log_pdf,
+    ))
+    host_dv = np.asarray(stats.doubled_variance(host_pars))
+
+    # device implementation (sharded, Gram-based)
+    gen = make_gen(pls_optimal_method="tolerance", dtype=jnp.float64)
+    res = gen.step_precomputed(
+        jax.random.PRNGKey(0), params, mets, keep, 0,
+        (prev_par, prev_w, prev_dv),
+    )
+
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(res.survivor_idx)), np.sort(host_surv)
+    )
+    np.testing.assert_allclose(np.asarray(res.distances)[:n][host_surv],
+                               np.asarray(dists)[host_surv], rtol=1e-8)
+    # weights are per-survivor; align by survivor index
+    dev_order = np.argsort(np.asarray(res.survivor_idx))
+    host_order = np.argsort(host_surv)
+    np.testing.assert_allclose(
+        np.asarray(res.weights)[dev_order], host_w[host_order], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.doubled_variance), host_dv, rtol=1e-9
+    )
