@@ -617,9 +617,10 @@ class AbcSmc:
                 kt, params, seeds, cfg.pred_prior_size_at(t), n_next, state,
                 n_valid=n_t,
             )
-            pops.append((np.asarray(params, np.float64)[:n_t],
-                         np.asarray(seeds, np.uint64)[:n_t],
-                         np.asarray(res.metrics, np.float64)[:n_t]))
+            # keep device references; the host fetch happens in the mirror
+            # loop below so generation t+1 dispatches without waiting on a
+            # (tunnel-slow) O(N) device->host transfer of generation t
+            pops.append((params, seeds, res.metrics, n_t))
             results.append(res)
             state = (
                 res.survivor_params, res.weights, res.doubled_variance
@@ -635,10 +636,13 @@ class AbcSmc:
                 [m.short_name for m in self.metrics],
                 self.transform.has_any,
             )
-        for i, (res, (pars_np, seeds_np, mets_np)) in enumerate(
+        for i, (res, (pars_d, seeds_d, mets_d, n_t)) in enumerate(
             zip(results, pops)
         ):
             t = t0 + i
+            pars_np = np.asarray(pars_d, np.float64)[:n_t]
+            seeds_np = np.asarray(seeds_d, np.uint64)[:n_t]
+            mets_np = np.asarray(mets_d, np.float64)[:n_t]
             surv = np.asarray(res.survivor_idx, np.int64)
             ranks = np.full(len(pars_np), -1, np.int64)
             ranks[surv] = np.arange(len(surv))

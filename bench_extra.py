@@ -69,16 +69,28 @@ def main():
     emit("PLS fit 1k x 100 mets, 10 comps", timeit(jax.jit(fit10), x, y))
 
     # --- weight kernel ---
+    on_cpu = jax.default_backend() == "cpu"
     for k in (10_000, 50_000, 200_000):
         prev = jnp.asarray(rng.uniform(0.3, 0.7, (k, 6)), jnp.float32)
         w = jnp.full((k,), 1.0 / k, jnp.float32)
         dv = jnp.full((6,), 0.02, jnp.float32)
         a, b, _ = _prep_scaled(prev, prev, dv)
         lw = jnp.log(w)
-        emit(
-            f"mixture-weight kernel (Pallas) {k}x{k}",
-            timeit(lambda: mixture_logsumexp(a, b, lw)),
-        )
+        if on_cpu:
+            # no pallas lowering on CPU - measure the XLA streaming path so
+            # the line still prints (labeled)
+            from abcsmc_tpu.ops.weights import _log_kernel_mixture_density_xla
+
+            emit(
+                f"mixture-weight kernel (XLA fallback, cpu) {k}x{k}",
+                timeit(lambda: _log_kernel_mixture_density_xla(
+                    prev, prev, lw, dv)),
+            )
+        else:
+            emit(
+                f"mixture-weight kernel (Pallas) {k}x{k}",
+                timeit(lambda: mixture_logsumexp(a, b, lw)),
+            )
 
     # --- resample ---
     w = jnp.asarray(rng.uniform(0.5, 1.5, 50_000), jnp.float32)
