@@ -282,3 +282,84 @@ def test_device_step_matches_host_implementation():
     np.testing.assert_allclose(
         np.asarray(res.doubled_variance), host_dv, rtol=1e-9
     )
+
+
+def test_device_matches_host_wide_metrics_dengue_shape():
+    """Same cross-implementation oracle at the dengue-surrogate shape
+    (6 parameters x 13 metrics): exercises the Gram-PRESS prefix math and
+    component selection at A = 13 (the 2x2 dice tests cap A at 2)."""
+    from abcsmc_tpu.config import parse_config
+    from abcsmc_tpu.models.simulators import make_linear_gaussian_simulator
+    from abcsmc_tpu.models.transforms import ParameterTransform
+    from abcsmc_tpu.ops import ranking, stats, weights
+
+    npar, nmet, n, keep = 6, 13, 240, 40
+    cfg = parse_config({
+        "smc_iterations": 2, "num_samples": n,
+        "predictive_prior_size": keep,
+        "parameters": [
+            {"name": f"p{i}", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": 0.0, "par2": 1.0} for i in range(npar)
+        ],
+        "metrics": [
+            {"name": f"m{j}", "num_type": "FLOAT", "value": 0.4}
+            for j in range(nmet)
+        ],
+    })
+    par_set = ParameterSet.from_specs(cfg.parameters)
+    rng = np.random.default_rng(7)
+    params = jnp.asarray(rng.uniform(0, 1, (n, npar)))
+    mix = rng.normal(size=(npar, nmet))
+    mets = jnp.asarray(np.asarray(params) @ mix
+                       + 0.3 * rng.normal(size=(n, nmet)))
+    obs = np.full(nmet, 0.4)
+    prev_par = jnp.asarray(rng.uniform(0.2, 0.8, (keep, npar)))
+    prev_w = jnp.asarray(rng.uniform(0.5, 1.5, (keep,)))
+    prev_w = prev_w / jnp.linalg.norm(prev_w)
+    prev_dv = jnp.asarray(np.full(npar, 0.05))
+
+    order, dists = ranking.ranking_pls(
+        mets, params, jnp.asarray(obs), 0.5, optimal_method="tolerance"
+    )
+    host_surv = np.asarray(order)[:keep]
+    host_w = np.asarray(weights.weight_predictive_prior(
+        params[host_surv], prev_par, prev_w, prev_dv, par_set.prior_log_pdf,
+    ))
+    host_dv = np.asarray(stats.doubled_variance(params[host_surv]))
+
+    gen = ShardedGeneration(
+        par_set, ParameterTransform(cfg.parameters),
+        make_linear_gaussian_simulator(npar, nmet), obs,
+        mesh=particle_mesh(), pls_optimal_method="tolerance",
+        dtype=jnp.float64,
+    )
+    res = gen.step_precomputed(
+        jax.random.PRNGKey(0), params, mets, keep, 0,
+        (prev_par, prev_w, prev_dv),
+    )
+    assert int(res.ncomp_used) >= 3   # wide shape genuinely uses many comps
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(res.survivor_idx)), np.sort(host_surv)
+    )
+    dev_order = np.argsort(np.asarray(res.survivor_idx))
+    host_order = np.argsort(host_surv)
+    np.testing.assert_allclose(
+        np.asarray(res.weights)[dev_order], host_w[host_order], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.doubled_variance), host_dv, rtol=1e-9
+    )
+
+    # vdv at the same shape: both paths deterministic, sane component counts
+    gen_vdv = ShardedGeneration(
+        par_set, ParameterTransform(cfg.parameters),
+        make_linear_gaussian_simulator(npar, nmet), obs,
+        mesh=particle_mesh(), pls_optimal_method="vdv",
+        vdv_permutations=99, dtype=jnp.float64,
+    )
+    res_v = gen_vdv.step_precomputed(
+        jax.random.PRNGKey(0), params, mets, keep, 0,
+        (prev_par, prev_w, prev_dv),
+    )
+    assert 1 <= int(res_v.ncomp_used) <= min(13, n // 2 - 1)
+    assert np.all(np.isfinite(np.asarray(res_v.weights)))
