@@ -50,6 +50,9 @@ class SQLiteStorage(Storage):
         self.has_upar = False
         #: optional provenance written into abc_meta at create()
         self.meta: dict | None = None
+        #: physical table names; remapped to the historical reference names
+        #: (jobs/parameters/metrics) when opening an old database
+        self._job, self._par, self._met = JOB_TABLE, PAR_TABLE, MET_TABLE
         self._conn: sqlite3.Connection | None = None
         self._load_schema_if_present()
 
@@ -68,17 +71,30 @@ class SQLiteStorage(Storage):
     def _load_schema_if_present(self):
         conn = self._connect()
         if _tables_exist(conn, [JOB_TABLE, PAR_TABLE, MET_TABLE]):
-            par_cols = [r[1] for r in conn.execute(f"pragma table_info({PAR_TABLE})")]
-            met_cols = [r[1] for r in conn.execute(f"pragma table_info({MET_TABLE})")]
-            self.par_names = par_cols[2:]  # skip serial, seed
-            self.met_names = met_cols[1:]  # skip serial
-            self.has_upar = _tables_exist(conn, [UPAR_TABLE])
+            self._job, self._par, self._met = JOB_TABLE, PAR_TABLE, MET_TABLE
+        elif _tables_exist(conn, ["jobs", "parameters", "metrics"]):
+            # historical reference schema (pre-rename; see
+            # examples/scratch/posterior.sqlite and vis/abc_plots.R:5 in the
+            # reference): same columns, old table names - readable here so
+            # old posterior databases keep working as POSTERIOR sources
+            self._job, self._par, self._met = "jobs", "parameters", "metrics"
+        else:
+            return
+        par_cols = [r[1] for r in conn.execute(f"pragma table_info({self._par})")]
+        met_cols = [r[1] for r in conn.execute(f"pragma table_info({self._met})")]
+        self.par_names = par_cols[2:]  # skip serial, seed
+        self.met_names = met_cols[1:]  # skip serial
+        self.has_upar = _tables_exist(conn, [UPAR_TABLE])
 
     # -- lifecycle -------------------------------------------------------------
     def exists(self) -> bool:
-        return _tables_exist(self._connect(), [JOB_TABLE, PAR_TABLE, MET_TABLE])
+        conn = self._connect()
+        return _tables_exist(conn, [JOB_TABLE, PAR_TABLE, MET_TABLE]) or (
+            _tables_exist(conn, ["jobs", "parameters", "metrics"])
+        )
 
     def create(self, par_names, met_names, has_upar):
+        self._job, self._par, self._met = JOB_TABLE, PAR_TABLE, MET_TABLE
         self.par_names = list(par_names)
         self.met_names = list(met_names)
         self.has_upar = has_upar
@@ -133,7 +149,7 @@ class SQLiteStorage(Storage):
         conn.execute("BEGIN EXCLUSIVE")
         try:
             row = conn.execute(
-                f"select coalesce(max(serial), -1) from {JOB_TABLE}"
+                f"select coalesce(max(serial), -1) from {self._job}"
             ).fetchone()
             start = int(row[0]) + 1
             serials = np.arange(start, start + n, dtype=np.int64)
@@ -141,7 +157,7 @@ class SQLiteStorage(Storage):
             npar = len(self.par_names)
             par_ph = ", ".join(["?"] * npar)
             conn.executemany(
-                f"insert into {JOB_TABLE} values ( ?, ?, ?, ?, NULL, 'Q', ?, 0 )",
+                f"insert into {self._job} values ( ?, ?, ?, ?, NULL, 'Q', ?, 0 )",
                 [
                     (
                         int(serials[i]), int(set_num), i, now,
@@ -153,7 +169,7 @@ class SQLiteStorage(Storage):
             # seed stored as a text blob, matching the reference's quoted insert
             # (src/AbcSmc.cpp:537, 859-860)
             conn.executemany(
-                f"insert into {PAR_TABLE} values ( ?, ?, {par_ph} )",
+                f"insert into {self._par} values ( ?, ?, {par_ph} )",
                 [
                     (int(serials[i]), str(int(seeds[i])), *map(float, params[i]))
                     for i in range(n)
@@ -170,7 +186,7 @@ class SQLiteStorage(Storage):
                 )
             met_ph = ", ".join(["NULL"] * len(self.met_names))
             conn.executemany(
-                f"insert into {MET_TABLE} values ( ?, {met_ph} )",
+                f"insert into {self._met} values ( ?, {met_ph} )",
                 [(int(serials[i]),) for i in range(n)],
             )
             conn.execute("COMMIT")
@@ -199,13 +215,13 @@ class SQLiteStorage(Storage):
         conn.execute("BEGIN EXCLUSIVE")
         try:
             row = conn.execute(
-                f"select coalesce(max(serial), -1) from {JOB_TABLE}"
+                f"select coalesce(max(serial), -1) from {self._job}"
             ).fetchone()
             start = int(row[0]) + 1
             serials = np.arange(start, start + n, dtype=np.int64)
             now = int(time.time())
             conn.executemany(
-                f"insert into {JOB_TABLE} values ( ?, ?, ?, ?, 0.0, 'D', ?, 1 )",
+                f"insert into {self._job} values ( ?, ?, ?, ?, 0.0, 'D', ?, 1 )",
                 (
                     (start + i, int(set_num), i, now,
                      ranks_l[i] if ranks_l is not None else -1)
@@ -214,7 +230,7 @@ class SQLiteStorage(Storage):
             )
             par_ph = ", ".join(["?"] * len(self.par_names))
             conn.executemany(
-                f"insert into {PAR_TABLE} values ( ?, ?, {par_ph} )",
+                f"insert into {self._par} values ( ?, ?, {par_ph} )",
                 (
                     (start + i, seeds_l[i], *params_l[i]) for i in range(n)
                 ),
@@ -229,7 +245,7 @@ class SQLiteStorage(Storage):
                 )
             met_ph = ", ".join(["?"] * len(self.met_names))
             conn.executemany(
-                f"insert into {MET_TABLE} values ( ?, {met_ph} )",
+                f"insert into {self._met} values ( ?, {met_ph} )",
                 ((start + i, *mets_l[i]) for i in range(n)),
             )
             conn.execute("COMMIT")
@@ -251,7 +267,7 @@ class SQLiteStorage(Storage):
         sets = [
             r[0]
             for r in conn.execute(
-                f"select distinct smcSet from {JOB_TABLE} order by smcSet"
+                f"select distinct smcSet from {self._job} order by smcSet"
             )
         ]
         out = []
@@ -259,7 +275,7 @@ class SQLiteStorage(Storage):
             rows = conn.execute(
                 f"select J.serial, J.particleIdx, J.posterior, J.status, P.seed, "
                 f"{par_sel}, {met_sel} "
-                f"from {JOB_TABLE} J, {MET_TABLE} M, {PAR_TABLE} P "
+                f"from {self._job} J, {self._met} M, {self._par} P "
                 f"where J.serial = M.serial and J.serial = P.serial "
                 f"and J.smcSet = ? order by J.particleIdx",
                 (int(t),),
@@ -291,7 +307,7 @@ class SQLiteStorage(Storage):
         conn.execute("BEGIN EXCLUSIVE")
         try:
             conn.executemany(
-                f"update {JOB_TABLE} set posterior = ? where serial = ?",
+                f"update {self._job} set posterior = ? where serial = ?",
                 [(int(r), int(s)) for s, r in zip(serials, ranks)],
             )
             conn.execute("COMMIT")
@@ -302,17 +318,17 @@ class SQLiteStorage(Storage):
     # -- job queue ----------------------------------------------------------------
     def claim_jobs(self, n=1, serial_req=-1, posterior_req=-1):
         conn = self._connect()
-        table = UPAR_TABLE if self.has_upar else PAR_TABLE
+        table = UPAR_TABLE if self.has_upar else self._par
         par_sel = ", ".join(f"P.{nm}" for nm in self.par_names)
         base = (
-            f"select J.serial, P.seed, {par_sel} from {table} P, {JOB_TABLE} J "
+            f"select J.serial, P.seed, {par_sel} from {table} P, {self._job} J "
             f"where P.serial = J.serial "
         )
         if serial_req > -1:
             q = base + f"and J.serial = {int(serial_req)}"
         elif posterior_req > -1:
             q = base + (
-                f"and smcSet = (select max(smcSet) from {JOB_TABLE} "
+                f"and smcSet = (select max(smcSet) from {self._job} "
                 f"where posterior > -1) and posterior = {int(posterior_req)}"
             )
         else:
@@ -326,7 +342,7 @@ class SQLiteStorage(Storage):
         try:
             rows = conn.execute(q).fetchall()
             conn.executemany(
-                f"update {JOB_TABLE} set startTime = {now}, status = 'R', "
+                f"update {self._job} set startTime = {now}, status = 'R', "
                 f"attempts = attempts + 1 where serial = ?",
                 [(int(r[0]),) for r in rows],
             )
@@ -352,13 +368,13 @@ class SQLiteStorage(Storage):
             for s, met, st, dur in zip(serials, metrics, start_times, durations):
                 s = int(s)
                 conn.execute(
-                    f"update {MET_TABLE} set {met_set} where serial = ? and "
+                    f"update {self._met} set {met_set} where serial = ? and "
                     f"(select (status = 'R' or status = 'Q' or status = 'P') "
-                    f"from {JOB_TABLE} J where J.serial = ?)",
+                    f"from {self._job} J where J.serial = ?)",
                     (*[float(v) for v in met], s, s),
                 )
                 cur = conn.execute(
-                    f"update {JOB_TABLE} set startTime = ?, duration = ?, "
+                    f"update {self._job} set startTime = ?, duration = ?, "
                     f"status = 'D' where serial = ? and "
                     f"(status = 'R' or status = 'Q' or status = 'P')",
                     (int(st), float(dur), s),
@@ -376,10 +392,10 @@ class SQLiteStorage(Storage):
         columns for rows with posterior > -1, in *serial* order (the reference
         does not order by rank - preserved quirk)."""
         conn = self._connect()
-        table = UPAR_TABLE if _tables_exist(conn, [UPAR_TABLE]) else PAR_TABLE
+        table = UPAR_TABLE if _tables_exist(conn, [UPAR_TABLE]) else self._par
         cols = ", ".join(short_names)
         rows = conn.execute(
-            f"select {cols} from {table} P, {JOB_TABLE} J "
+            f"select {cols} from {table} P, {self._job} J "
             f"where P.serial = J.serial and posterior > -1"
         ).fetchall()
         return np.array(

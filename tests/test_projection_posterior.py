@@ -215,3 +215,68 @@ def test_weights_with_indexed_pars_rejected():
     )
     with pytest.raises(ConfigError):
         abc.run(seed=0)
+
+
+def test_reads_historical_reference_database(tmp_path):
+    """The reference tree ships a real 2015-era dengue posterior database with
+    the OLD table names (jobs/parameters/metrics - see vis/abc_plots.R:5).
+    SQLiteStorage detects the legacy schema, so old posteriors keep working as
+    POSTERIOR sources (src/AbcSmc.cpp:293-335 slurp_posterior semantics)."""
+    import os
+    import shutil
+
+    from abcsmc_tpu.storage import SQLiteStorage
+
+    src = "/root/reference/examples/scratch/posterior.sqlite"
+    if not os.path.exists(src):
+        pytest.skip("reference posterior.sqlite not present")
+    db = str(tmp_path / "old.sqlite")
+    shutil.copy(src, db)
+
+    store = SQLiteStorage(db)
+    assert store.exists()
+    assert store.par_names == ["caseEF", "mos_mov", "exp_coef", "num_mos",
+                               "beta"]
+    mat = store.read_posterior_matrix(["mos_mov", "beta"])
+    assert mat.shape == (1000, 2)
+    assert np.isfinite(mat).all()
+    gens = store.read_generations()
+    assert gens[-1].complete and gens[-1].has_posterior
+    store.close()
+
+    # two-stage workflow: POSTERIOR parameters sourced from the legacy DB
+    proj = {
+        "database_filename": str(tmp_path / "proj.sqlite"),
+        "posterior_database_filename": db,
+        "parameters": [
+            {"name": "scenario", "dist_type": "PSEUDO", "num_type": "INT",
+             "par1": 0, "par2": 1},
+            {"name": "mos_mov", "dist_type": "POSTERIOR", "num_type": "FLOAT",
+             "par1": 0, "par2": 9},
+            {"name": "beta", "dist_type": "POSTERIOR", "num_type": "FLOAT",
+             "par1": 0, "par2": 9},
+        ],
+        "metrics": [
+            {"name": "m1", "num_type": "FLOAT", "value": 0},
+            {"name": "m2", "num_type": "FLOAT", "value": 0},
+            {"name": "m3", "num_type": "FLOAT", "value": 0},
+        ],
+    }
+    abc = AbcSmc(proj, simulator=PySimulator(
+        lambda pars, seed, serial: [pars[0], pars[1], pars[2]]))
+    abc.process_database(seed=0)
+    abc.simulate_next_particles(n=-1)
+    assert abc.process_database(seed=1) is True
+    import sqlite3 as _sq
+
+    conn = _sq.connect(proj["database_filename"])
+    n, = conn.execute("select count(*) from job where status='D'").fetchone()
+    # 2 scenarios x 10 posterior rows
+    assert n == 20
+    # echoed metrics carry the sourced posterior values
+    rows = conn.execute(
+        "select p.mos_mov, m.m2 from par p, met m where p.serial = m.serial"
+    ).fetchall()
+    conn.close()
+    for mm, m2 in rows:
+        assert m2 == mm
