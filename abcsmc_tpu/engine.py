@@ -508,11 +508,15 @@ class AbcSmc:
                 not isinstance(self.simulator, HostBridgeSimulator)
                 or backend_supports_callbacks()
             )
+            # the fused step has no Box-Cox stage (per-column skewness
+            # optimization is host-side); keep the transform's semantics by
+            # routing through the host engine rather than silently skipping it
+            and not cfg.box_cox
         )
         if not device_ok:
             if verbose:
                 sys.stderr.write(
-                    "run_device: simulator not device-runnable, "
+                    "run_device: configuration not device-runnable, "
                     "falling back to host engine\n"
                 )
             return self.run(seed, verbose)

@@ -271,3 +271,16 @@ def test_run_device_projection_sweep(tmp_path):
     for a, b, m1, m2, status in rows:
         assert (m1, m2) == (a, b)
         assert status == "D"
+
+
+def test_run_device_box_cox_routes_to_host():
+    """box_cox has no device-step stage; run_device must apply it via the
+    host engine rather than silently skipping the transform."""
+    cfg = dice_cfg(n=24)
+    cfg["box_cox"] = True
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                 storage=MemoryStorage())
+    abc.run_device(seed=2)
+    pars, _ = abc.posterior()
+    assert pars.shape == (6, 2)
+    assert len(abc._weights) == 3
