@@ -20,6 +20,33 @@ import sys
 import time
 
 
+def _probe_once(timeout_s: float) -> bool:
+    """One accelerator probe in its own process GROUP, output to devnull.
+
+    Two gotchas this avoids: (a) capture_output pipes hang .run() past its
+    timeout when the PJRT plugin forks helpers that inherit the pipe; (b) a
+    timeout-killed direct child can leave those helpers alive, and a stray
+    axon process wedges the tunnel session for everyone - so the whole group
+    is SIGKILLed."""
+    import signal
+
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; assert jax.devices()[0].platform != 'cpu'"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    try:
+        return p.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        p.wait()
+        return False
+
+
 def _accelerator_reachable(total_budget_s: float = 420.0) -> bool:
     """Probe the accelerator in a subprocess: a wedged PJRT tunnel hangs
     jax.devices() forever, which would swallow the benchmark. Wedged tunnel
@@ -38,17 +65,8 @@ def _accelerator_reachable(total_budget_s: float = 420.0) -> bool:
         budget_left = deadline - time.time()
         if budget_left <= 5 and attempt > 1:
             return False
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
-                timeout=max(attempt_timeout, min(60.0, budget_left)),
-                capture_output=True,
-            )
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
+        if _probe_once(max(attempt_timeout, min(60.0, budget_left))):
+            return True
         sys.stderr.write(
             f"bench: accelerator probe attempt {attempt} failed; "
             f"{max(deadline - time.time(), 0):.0f}s of probe budget left\n"
