@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr):
+def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr, *, precision):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -42,7 +42,8 @@ def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr):
     asq = jnp.sum(a * a, axis=1, keepdims=True)        # [BI, 1]
     bsq = jnp.sum(b * b, axis=1, keepdims=True).T      # [1, BJ]
     logits = (
-        jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                precision=precision)
         - 0.5 * asq
         - 0.5 * bsq
         + lw
@@ -61,15 +62,25 @@ def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr):
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
-@functools.partial(jax.jit, static_argnames=("block_i", "block_j", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_i", "block_j", "interpret", "precision"),
+)
 def mixture_logsumexp(
     a, b, log_w, block_i: int = 512, block_j: int = 1024,
-    interpret: bool = False,
+    interpret: bool = False, precision: str = "highest",
 ):
     """out[i] = logsumexp_j(a_i.b_j - |a_i|^2/2 - |b_j|^2/2 + log_w[j]).
 
     a: [n, p] scaled query particles; b: [m, p] scaled mixture centers;
     log_w: [m] log mixture weights. Returns [n] float32.
+
+    ``precision`` sets the MXU dot precision. The kernel is VPU-bound (the
+    streaming exp/max dominates; the matmul's K dim is at most 128), so the
+    default "highest" (full f32) costs only a few percent over bf16 passes
+    while cutting the log-density error ~400x (bf16 input rounding is the
+    dominant error term at this scale - measured on v5e, see
+    docs/TPU_VALIDATION.md).
     """
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
@@ -93,7 +104,7 @@ def mixture_logsumexp(
     lw = jnp.pad(log_w, (0, m_pad), constant_values=NEG_INF).reshape(1, -1)
 
     out = pl.pallas_call(
-        _mixture_kernel,
+        functools.partial(_mixture_kernel, precision=precision),
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((block_i, p_pad), lambda i, j: (i, 0),

@@ -117,8 +117,11 @@ def _log_kernel_mixture_density_xla(
         bb, lwb = inp
         b_sq = jnp.sum(bb * bb, axis=1)  # [block]
         # -0.5 * ||a_i - b_j||^2 = a.b - 0.5||a||^2 - 0.5||b||^2
+        # full-f32 dot: on TPU the default bf16 input rounding dominates the
+        # log-density error (~4e-2 at 50k mixtures); the kernel is VPU-bound
+        # so the extra MXU passes are nearly free (docs/TPU_VALIDATION.md)
         logits = (
-            a @ bb.T
+            jnp.matmul(a, bb.T, precision=jax.lax.Precision.HIGHEST)
             - 0.5 * a_sq[:, None]
             - 0.5 * b_sq[None, :]
             + lwb[None, :]

@@ -57,7 +57,7 @@ def main():
     dev = jax.devices()[0]
     lines = [
         "",
-        f"## {datetime.datetime.utcnow().isoformat()}Z - "
+        f"## {datetime.datetime.now(datetime.timezone.utc).isoformat()} - "
         f"backend={backend} device={dev.device_kind}",
         "",
         "| shape (N x M x P) | max abs diff | max rel diff | pallas ms | "
@@ -92,7 +92,12 @@ def main():
         got = np.asarray(pallas_fn())
         want = np.asarray(xla_fn())
         abs_diff = float(np.max(np.abs(got - want)))
-        rel_diff = float(np.max(np.abs(got - want) / np.abs(want)))
+        # log-densities cross zero, so a raw relative error blows up on the
+        # handful of values near 0; floor the denominator at 1 (i.e. report
+        # max(abs err, rel err) per element - the standard log-scale metric)
+        rel_diff = float(
+            np.max(np.abs(got - want) / np.maximum(np.abs(want), 1.0))
+        )
         t_pallas = timeit(pallas_fn)
         t_xla = timeit(xla_fn)
         lines.append(
