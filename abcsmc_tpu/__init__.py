@@ -21,6 +21,20 @@ C++ reference library ``tjhladish/AbcSmc``:
 Reference parity targets are cited throughout as ``/root/reference/<file>:<line>``.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Statistical linear algebra throughout (covariances, PLS Grams, score
+# projections) - none of it MXU-bound, all of it accuracy-sensitive. The TPU
+# default matmul precision rounds f32 inputs to bf16, which injects ~1e-2
+# relative error into covariance/Gram products (measured on v5e, see
+# docs/TPU_VALIDATION.md); full-f32 passes cost a few percent here. Opt out
+# (e.g. for heavy neural device-simulators) via ABCSMC_MATMUL_PRECISION.
+_prec = _os.environ.get("ABCSMC_MATMUL_PRECISION", "highest")
+if _prec and _prec != "unset":
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from abcsmc_tpu.config import SmcConfig, ConfigError, parse_config
 from abcsmc_tpu.engine import AbcSmc
 from abcsmc_tpu.models.parameters import (

@@ -66,6 +66,10 @@ def setup_mvn_sampler(params):
     params = jnp.asarray(params)
     n = params.shape[0]
     centered = params - jnp.mean(params, axis=0)[None, :]
-    sigma = (centered.T @ centered) / jnp.maximum(n - 1, 1)
+    # full-f32 dot: the TPU default rounds inputs to bf16, which feeds ~1e-2
+    # relative error into the covariance (and thence the Cholesky/proposal)
+    sigma = jnp.matmul(
+        centered.T, centered, precision=jax.lax.Precision.HIGHEST
+    ) / jnp.maximum(n - 1, 1)
     sigma = sigma + jnp.diag(jnp.diag(sigma))  # double the diagonal
     return jnp.linalg.cholesky(sigma)
