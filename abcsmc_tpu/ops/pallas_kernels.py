@@ -41,6 +41,13 @@ def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr, *, precision):
 
     asq = jnp.sum(a * a, axis=1, keepdims=True)        # [BI, 1]
     bsq = jnp.sum(b * b, axis=1, keepdims=True).T      # [1, BJ]
+    # NB: a hand-rolled 3-pass split-bf16 product (bit-masked hi/lo split,
+    # a_hi.b_hi + a_hi.b_lo + a_lo.b_hi at DEFAULT precision) was tried here
+    # and measured SLOWER than precision="highest" on v5e (98 vs 52 ms at
+    # 50k^2): Mosaic fuses the HIGHEST passes into one MXU pipeline, while
+    # three separate dots pay three VMEM traversals plus the VPU split work.
+    # (An astype-based split doesn't work at all - the f32->bf16->f32 chain
+    # is folded away inside pallas.)
     logits = (
         jnp.dot(a, b.T, preferred_element_type=jnp.float32,
                 precision=precision)
@@ -67,7 +74,7 @@ def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr, *, precision):
     static_argnames=("block_i", "block_j", "interpret", "precision"),
 )
 def mixture_logsumexp(
-    a, b, log_w, block_i: int = 512, block_j: int = 1024,
+    a, b, log_w, block_i: int = 512, block_j: int = 2048,
     interpret: bool = False, precision: str = "highest",
 ):
     """out[i] = logsumexp_j(a_i.b_j - |a_i|^2/2 - |b_j|^2/2 + log_w[j]).
