@@ -80,6 +80,13 @@ class Parameter:
     def get_sd(self) -> float:
         return math.nan
 
+    def noise_support(self) -> tuple[float, float]:
+        """The x-interval on which ``recast(x)`` is valid — i.e. the acceptance
+        region of the reference's rejection loop (Priors.h:19-33). Truncating a
+        normal to this interval (inverse-CDF) draws from exactly the
+        distribution the rejection loop accepts."""
+        raise NotImplementedError
+
 
 class _IntRecastMixin:
     """INT parameters flatten to the nearest integer (Parameter.h:49-56)."""
@@ -109,6 +116,9 @@ class GaussianPrior(Parameter):
     def get_sd(self):
         return self.sd
 
+    def noise_support(self):
+        return (-math.inf, math.inf)
+
 
 class ContinuousUniformPrior(Parameter):
     """Priors.h:85-110."""
@@ -135,6 +145,9 @@ class ContinuousUniformPrior(Parameter):
 
     def get_sd(self):
         return (self.max_val - self.min_val) / math.sqrt(12.0)
+
+    def noise_support(self):
+        return (self.min_val, self.max_val)
 
 
 class DiscreteUniformPrior(_IntRecastMixin, Parameter):
@@ -168,6 +181,11 @@ class DiscreteUniformPrior(_IntRecastMixin, Parameter):
 
     def get_sd(self):
         return (self.max_val - self.min_val) / math.sqrt(12.0)
+
+    def noise_support(self):
+        # rounding maps (min-0.5, max+0.5) onto the valid integers, so this is
+        # the rejection loop's acceptance region in pre-recast space
+        return (self.min_val - 0.5, self.max_val + 0.5)
 
 
 class PseudoParameter(Parameter):
@@ -397,18 +415,46 @@ class ParameterSet:
         return jnp.stack(cols, axis=1)
 
     # -- perturbation (truncated noise) -------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4))
-    def noise_independent(self, key, mu, doubled_variance, max_retries: int = 1000):
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def noise_independent(
+        self, key, mu, doubled_variance, max_retries: int = 1000,
+        method: str = "inverse_cdf",
+    ):
         """Vectorized truncated-normal perturbation.
 
-        Per particle and parameter: draw x ~ N(mu, sqrt(dv)), recast, retry while
-        invalid up to ``max_retries``, then fall back to the prior mean
-        (src/AbcUtil.cpp:145-158 + Priors.h:19-33). The serial per-scalar retry
-        loop becomes a masked ``lax.while_loop`` over the whole population.
+        The reference draws x ~ N(mu, sqrt(dv)) per particle and parameter,
+        recasts, and retries while invalid, falling back to the prior mean
+        after ``max_retries`` (src/AbcUtil.cpp:145-158 + Priors.h:19-33).
+
+        ``method="inverse_cdf"`` (default) samples the identical distribution
+        directly: a truncated standard normal on the acceptance region
+        (``Parameter.noise_support``) in ONE fused pass - no data-dependent
+        retry loop, ~5x fewer RNG draws at 1M particles, and no mean-fallback
+        edge case (the exact conditional is sampled even where the rejection
+        loop would give up). ``method="rejection"`` keeps the reference's loop
+        semantics, including the fallback quirk, as a masked
+        ``lax.while_loop``.
         """
         self._require_all_priors("noise")
         mu = jnp.asarray(mu)
         sigma = jnp.sqrt(jnp.asarray(doubled_variance, mu.dtype))
+
+        if method == "inverse_cdf":
+            lo = jnp.asarray(
+                [p.noise_support()[0] for p in self.params], mu.dtype
+            )
+            hi = jnp.asarray(
+                [p.noise_support()[1] for p in self.params], mu.dtype
+            )
+            live = sigma > 0
+            safe_sigma = jnp.where(live, sigma, 1.0)
+            a = (lo[None, :] - mu) / safe_sigma[None, :]
+            b = (hi[None, :] - mu) / safe_sigma[None, :]
+            z = jax.random.truncated_normal(key, a, b, mu.shape, mu.dtype)
+            x = self.recast(mu + z * safe_sigma[None, :])
+            # converged columns (dv == 0): zero noise, keep mu (the reference
+            # adds N(0, 0) there)
+            return jnp.where(live[None, :], x, mu)
 
         def draw(k):
             eps = jax.random.normal(k, mu.shape, mu.dtype)

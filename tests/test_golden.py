@@ -1,7 +1,11 @@
 """Fixed-seed golden-run regression test (BASELINE.md: 'fixed-seed golden runs
 for bit-stability within the new engine'). The exact values below were produced
 by this engine on the CPU backend with x64; any numerical change to sampling,
-ranking, weighting, or proposal order shows up here."""
+ranking, weighting, or proposal order shows up here.
+
+Regenerated when the default perturbation switched from the rejection loop to
+the (distribution-identical) one-pass inverse-CDF truncated normal - the draw
+sequence differs even though the sampled law does not."""
 
 import numpy as np
 import pytest
@@ -10,10 +14,10 @@ from abcsmc_tpu.engine import AbcSmc
 from abcsmc_tpu.models.simulators import make_dice_simulator
 from abcsmc_tpu.storage import MemoryStorage
 
-GOLDEN_MEAN = [17.175, 8.5]
-GOLDEN_STD = [11.629461509459498, 6.492303135251773]
-GOLDEN_W3 = [0.13442387974222483, 0.15781141516649447, 0.13756144436097276]
-GOLDEN_DV = [277.42435897435894, 86.46153846153847]
+GOLDEN_MEAN = [14.15, 8.325]
+GOLDEN_STD = [7.90743321185832, 3.3195443964496096]
+GOLDEN_W3 = [0.1065215105771975, 0.09873741872133965, 0.10491078613862397]
+GOLDEN_DV = [128.2615384615385, 22.60384615384616]
 
 
 def test_fixed_seed_dice_run_is_stable():

@@ -148,14 +148,50 @@ def test_noise_independent_truncation_and_recast():
 
 def test_noise_fallback_to_prior_mean():
     # an (artificially) impossible acceptance: uniform [0, 1] but mean pushed far
-    # away with tiny variance - fallback must be the prior mean (Priors.h:25-29)
+    # away with tiny variance - fallback must be the prior mean (Priors.h:25-29).
+    # The fallback quirk belongs to the rejection method; the inverse-CDF
+    # method samples the exact conditional instead (stays inside support).
     ps = ParameterSet([ContinuousUniformPrior("c", 0.0, 1.0)])
     mu = jnp.full((8, 1), 100.0)
     dv = jnp.array([1e-12])
     out = np.asarray(
-        ps.noise_independent(jax.random.PRNGKey(2), mu, dv, 50)
+        ps.noise_independent(jax.random.PRNGKey(2), mu, dv, 50,
+                             method="rejection")
     )
     np.testing.assert_allclose(out, 0.5)
+    out_icdf = np.asarray(
+        ps.noise_independent(jax.random.PRNGKey(2), mu, dv, 50)
+    )
+    assert np.all((out_icdf >= 0.0) & (out_icdf <= 1.0))
+
+
+def test_noise_inverse_cdf_matches_rejection_distribution():
+    """The one-pass inverse-CDF perturbation and the reference-style rejection
+    loop sample the same truncated distribution (both for continuous and
+    rounded-integer acceptance regions)."""
+    ps = ParameterSet([
+        DiscreteUniformPrior("d", 1, 6),
+        ContinuousUniformPrior("c", 0.0, 1.0),
+    ])
+    n = 200_000
+    mu = jnp.tile(jnp.array([[5.5, 0.9]]), (n, 1))  # near the upper bounds
+    dv = jnp.array([4.0, 0.04])
+    icdf = np.asarray(ps.noise_independent(jax.random.PRNGKey(7), mu, dv))
+    rej = np.asarray(
+        ps.noise_independent(jax.random.PRNGKey(8), mu, dv,
+                             method="rejection")
+    )
+    # integer column: compare the full pmf on 1..6
+    for v in range(1, 7):
+        p1 = np.mean(icdf[:, 0] == v)
+        p2 = np.mean(rej[:, 0] == v)
+        assert abs(p1 - p2) < 0.01, (v, p1, p2)
+    # continuous column: moments + tail mass
+    assert abs(icdf[:, 1].mean() - rej[:, 1].mean()) < 0.005
+    assert abs(icdf[:, 1].std() - rej[:, 1].std()) < 0.005
+    q = np.quantile(icdf[:, 1], [0.05, 0.5, 0.95])
+    q2 = np.quantile(rej[:, 1], [0.05, 0.5, 0.95])
+    np.testing.assert_allclose(q, q2, atol=0.01)
 
 
 def test_noise_multivariate_valid_rows():
