@@ -35,6 +35,10 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    the rule upstream tjhladish/PLS uses) or "tolerance"
                    (fewest components within 10% of min PRESS); see
                    docs/PARITY.md for the numerical comparison
+  ``resample_method``  "multinomial" (default: iid categorical, matching
+                   gsl_ran_discrete) or "systematic" (single-offset
+                   stratified resampling - strictly lower variance;
+                   Kitagawa 1996)
 """
 
 from __future__ import annotations
@@ -154,6 +158,7 @@ class SmcConfig:
     box_cox: bool = False
     nrmse_tolerance: float = 0.0
     pls_optimal_method: str = "vdv"
+    resample_method: str = "multinomial"
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -507,6 +512,18 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         box_cox=bool(par.get("box_cox", False)),
         nrmse_tolerance=float(par.get("nrmse_tolerance", 0.0)),
         pls_optimal_method=str(par.get("pls_optimal_method", "vdv")),
+        resample_method=_parse_resample_method(par),
         projection_mode=projection,
         raw=par,
     )
+
+
+def _parse_resample_method(par: dict) -> str:
+    method = str(par.get("resample_method", "multinomial"))
+    if method not in ("multinomial", "systematic"):
+        raise ConfigError(
+            f"resample_method must be 'multinomial' or 'systematic', "
+            f"got {method!r}",
+            code=1,
+        )
+    return method

@@ -235,7 +235,7 @@ class AbcSmc:
                 L = resample.setup_mvn_sampler(prev_params)
                 noised = resample.sample_mvn_predictive_priors(
                     k_noise, n, prev_w, prev_params, self.par_set, L,
-                    self.config.max_retries,
+                    self.config.max_retries, self.config.resample_method,
                 )
                 if verbose:
                     sys.stderr.write(
@@ -246,7 +246,7 @@ class AbcSmc:
                 noised = resample.sample_predictive_priors(
                     k_noise, n, prev_w, prev_params, self.par_set,
                     jnp.asarray(self._doubled_variance[last_set]),
-                    self.config.max_retries,
+                    self.config.max_retries, self.config.resample_method,
                 )
                 if verbose:
                     sys.stderr.write(
@@ -581,6 +581,7 @@ class AbcSmc:
             training_fraction=cfg.pls_training_fraction,
             max_retries=cfg.max_retries,
             pls_optimal_method=cfg.pls_optimal_method,
+            resample_method=cfg.resample_method,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 

@@ -31,15 +31,44 @@ def categorical_indices(key, weights, num_samples: int):
     return jnp.minimum(idx, w.shape[0] - 1)
 
 
+@partial(jax.jit, static_argnames=("num_samples",))
+def systematic_indices(key, weights, num_samples: int):
+    """Systematic (stratified single-offset) resampling: evaluate the inverse
+    CDF at ``(i + u) / N`` for one shared ``u ~ U(0, 1)``.
+
+    Beyond-reference option: the reference's gsl_ran_discrete is multinomial
+    (iid) resampling; systematic resampling (Kitagawa 1996) has strictly
+    smaller resampling variance - per-survivor counts deviate from N*w_j by
+    less than 1 - and is the standard choice in modern SMC practice. The
+    query points are sorted by construction, so the lookup is a single
+    ordered merge rather than N independent binary searches."""
+    w = jnp.asarray(weights)
+    cdf = jnp.cumsum(w)
+    u = jax.random.uniform(key, (), w.dtype)
+    pts = (jnp.arange(num_samples, dtype=w.dtype) + u) * (
+        cdf[-1] / num_samples
+    )
+    idx = jnp.searchsorted(cdf, pts, method="sort")
+    return jnp.minimum(idx, w.shape[0] - 1)
+
+
+def resample_indices(key, weights, num_samples: int, method: str = "multinomial"):
+    """Dispatch: ``multinomial`` (reference parity, iid categorical) or
+    ``systematic`` (lower-variance; see :func:`systematic_indices`)."""
+    if method == "systematic":
+        return systematic_indices(key, weights, num_samples)
+    return categorical_indices(key, weights, num_samples)
+
+
 def sample_predictive_priors(
     key, num_samples: int, weights, prev_params, parameter_set, doubled_variance,
-    max_retries: int = 1000,
+    max_retries: int = 1000, method: str = "multinomial",
 ):
     """INDEPENDENT-noise proposal of the next generation
     (src/AbcUtil.cpp:377-389): weighted resample of survivors, then per-parameter
     truncated normal with the doubled variance."""
     k_pick, k_noise = jax.random.split(key)
-    idx = categorical_indices(k_pick, weights, num_samples)
+    idx = resample_indices(k_pick, weights, num_samples, method)
     mu = jnp.asarray(prev_params)[idx]
     return parameter_set.noise_independent(
         k_noise, mu, doubled_variance, max_retries
@@ -48,13 +77,13 @@ def sample_predictive_priors(
 
 def sample_mvn_predictive_priors(
     key, num_samples: int, weights, prev_params, parameter_set, chol_lower,
-    max_retries: int = 1000,
+    max_retries: int = 1000, method: str = "multinomial",
 ):
     """MULTIVARIATE-noise proposal (src/AbcUtil.cpp:391-404): weighted resample,
     then truncated MVN with covariance = survivors' covariance with doubled
     diagonal (setup via :func:`setup_mvn_sampler`)."""
     k_pick, k_noise = jax.random.split(key)
-    idx = categorical_indices(k_pick, weights, num_samples)
+    idx = resample_indices(k_pick, weights, num_samples, method)
     mu = jnp.asarray(prev_params)[idx]
     return parameter_set.noise_multivariate(k_noise, mu, chol_lower, max_retries)
 

@@ -136,3 +136,53 @@ def test_ranking_pls_vdv_method():
         assert len(np.unique(idx)) == n
         sel = theta[idx[:30]]
         assert np.linalg.norm(sel - np.array([0.5, -1.0]), axis=1).mean() < 1.2
+
+
+def test_systematic_indices_count_invariant():
+    """Systematic resampling: every survivor's count is floor(N*w) or
+    ceil(N*w) - the defining low-variance property (Kitagawa 1996)."""
+    rng = np.random.default_rng(3)
+    k = 40
+    w = rng.uniform(0.1, 2.0, k)
+    n = 1000
+    idx = np.asarray(resample.systematic_indices(
+        jax.random.PRNGKey(5), jnp.asarray(w), n
+    ))
+    counts = np.bincount(idx, minlength=k)
+    expected = n * w / w.sum()
+    assert np.all(counts >= np.floor(expected))
+    assert np.all(counts <= np.ceil(expected))
+    # and it still hits every stratum exactly once
+    assert counts.sum() == n
+
+
+def test_systematic_vs_multinomial_same_marginals():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, 20))
+    n = 100_000
+    sys_idx = np.asarray(resample.systematic_indices(jax.random.PRNGKey(1), w, n))
+    mult_idx = np.asarray(resample.categorical_indices(jax.random.PRNGKey(2), w, n))
+    p_sys = np.bincount(sys_idx, minlength=20) / n
+    p_mult = np.bincount(mult_idx, minlength=20) / n
+    p_true = np.asarray(w) / np.asarray(w).sum()
+    np.testing.assert_allclose(p_sys, p_true, atol=2e-4)   # near-deterministic
+    np.testing.assert_allclose(p_mult, p_true, atol=5e-3)  # MC noise
+
+
+def test_resample_method_config_validation():
+    import pytest as _pytest
+
+    from abcsmc_tpu.config import parse_config
+    from abcsmc_tpu.errors import ConfigError
+
+    base = {
+        "smc_iterations": 2, "num_samples": 10, "predictive_prior_size": 4,
+        "parameters": [{"name": "a", "dist_type": "UNIFORM",
+                        "num_type": "FLOAT", "par1": 0.0, "par2": 1.0}],
+        "metrics": [{"name": "m", "num_type": "FLOAT", "value": 0.0}],
+    }
+    assert parse_config(base).resample_method == "multinomial"
+    assert parse_config({**base, "resample_method": "systematic"}
+                        ).resample_method == "systematic"
+    with _pytest.raises(ConfigError):
+        parse_config({**base, "resample_method": "bogus"})

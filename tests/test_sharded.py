@@ -363,3 +363,39 @@ def test_device_matches_host_wide_metrics_dengue_shape():
     )
     assert 1 <= int(res_v.ncomp_used) <= min(13, n // 2 - 1)
     assert np.all(np.isfinite(np.asarray(res_v.weights)))
+
+
+def test_sharded_systematic_resampling():
+    """resample_method="systematic" on the mesh: one global set of strata
+    tiles the whole next population across shards (the offset is shared, the
+    stratum index is the global row index), and proposals stay in support."""
+    gen = make_gen(resample_method="systematic")
+    res = run_generations(gen)
+    nxt = np.asarray(res.next_params)
+    assert nxt.shape == (64, 2)
+    assert nxt.min() >= 1 and nxt.max() <= 50
+    assert np.all(nxt == np.round(nxt))
+    # from a FIXED population and key, both mesh layouts must agree on the
+    # survivors, and a constant column (dv == 0 -> zero noise) must pass the
+    # systematic picks through unchanged on both
+    key = jax.random.PRNGKey(7)
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(np.stack([
+        rng.integers(1, 51, size=64),
+        np.full(64, 7.0),                # constant -> dv 0 -> pure pick
+    ], axis=1).astype(np.float32))
+    seeds = jnp.asarray(
+        rng.integers(0, 2**31, size=64, dtype=np.int64).astype(np.uint32)
+    )
+    res8 = gen.step(key, params, seeds, 16, 64, None)
+    gen1 = make_gen(n_devices=1, resample_method="systematic")
+    res1 = gen1.step(key, params, seeds, 16, 64, None)
+    # same survivors both layouts; constant column passes picks through
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(res8.survivor_idx)),
+        np.sort(np.asarray(res1.survivor_idx)),
+    )
+    assert np.all(np.asarray(res8.next_params)[:, 1] == 7.0)
+    assert np.all(np.asarray(res1.next_params)[:, 1] == 7.0)
+    # (the floor/ceil count invariance of systematic picks is pinned on the
+    # host function in tests/test_resample.py)
