@@ -440,14 +440,20 @@ class ShardedGeneration:
             if self.resample_method == "systematic":
                 # one GLOBAL offset (derived from the replicated key, not the
                 # shard-folded one) so the strata tile the whole population:
-                # shard s covers points (s*local_next + i + u) / n_next_pad
+                # shard s covers points (s*local_next + i + u) / n_next.
+                # Strata count is the TRUE next size - padding rows clamp into
+                # the last stratum (they're masked downstream); dividing by
+                # the padded size instead would leave the top pad/n_pad slice
+                # of cumulative weight reachable only by masked rows, biasing
+                # survivors late in CDF order low.
                 u_g = jax.random.uniform(
                     jax.random.fold_in(key, 131071), (), self.dtype
                 )
-                g2 = shard * local_next + jnp.arange(
-                    local_next, dtype=self.dtype
-                )
-                pts = (g2 + u_g) * (cdf[-1] / (local_next * ndev))
+                g2 = jnp.minimum(
+                    shard * local_next + jnp.arange(local_next),
+                    n_next - 1,
+                ).astype(self.dtype)
+                pts = (g2 + u_g) * (cdf[-1] / n_next)
                 pick = jnp.minimum(
                     jnp.searchsorted(cdf, pts, method="sort"), keep - 1
                 )

@@ -399,3 +399,21 @@ def test_sharded_systematic_resampling():
     assert np.all(np.asarray(res1.next_params)[:, 1] == 7.0)
     # (the floor/ceil count invariance of systematic picks is pinned on the
     # host function in tests/test_resample.py)
+
+
+def test_sharded_systematic_non_divisible_next():
+    """Padded next populations (n_next % ndev != 0) under systematic
+    resampling: strata are counted over the TRUE next size, pad rows clamp
+    into the last stratum, and the masked next step consumes the buffer."""
+    gen = make_gen(resample_method="systematic")
+    key = jax.random.PRNGKey(3)
+    k0, k1, k2 = jax.random.split(key, 3)
+    params, seeds = gen.init_population(k0, 64)
+    r1 = gen.step(k1, params, seeds, 16, 300, None)          # next: 300 on 8 dev
+    assert r1.next_params.shape[0] == 304                     # padded buffer
+    nxt = np.asarray(r1.next_params)
+    assert nxt.min() >= 1 and nxt.max() <= 50
+    state = (r1.survivor_params, r1.weights, r1.doubled_variance)
+    r2 = gen.step(k2, r1.next_params, r1.next_seeds, 20, 0, state, n_valid=300)
+    assert r2.survivor_params.shape == (20, 2)
+    assert np.all(np.asarray(r2.survivor_idx) < 300)          # pads never survive
