@@ -218,3 +218,25 @@ def test_parameter_set_from_reference_config():
     assert s.shape == (100, 2)
     assert s.min() >= 1 and s.max() <= 1000
     assert np.all(s == np.round(s))  # both INT uniforms
+
+
+def test_noise_inverse_cdf_infinite_support_and_dv0():
+    """Gaussian priors have infinite noise_support - the inverse-CDF path must
+    stay finite there - and dv == 0 columns pass mu through unchanged."""
+    ps = ParameterSet([
+        GaussianPrior("g", 0.0, 2.0),
+        ContinuousUniformPrior("c", 0.0, 1.0),
+    ])
+    mu = jnp.tile(jnp.array([[1.0, 0.5]]), (50_000, 1))
+    out = np.asarray(
+        ps.noise_independent(jax.random.PRNGKey(0), mu,
+                             jnp.array([0.25, 0.04]))
+    )
+    assert np.all(np.isfinite(out))
+    assert abs(out[:, 0].mean() - 1.0) < 0.02      # untruncated normal
+    assert abs(out[:, 0].std() - 0.5) < 0.02
+    out0 = np.asarray(
+        ps.noise_independent(jax.random.PRNGKey(1), mu,
+                             jnp.array([0.0, 0.04]))
+    )
+    assert np.all(out0[:, 0] == 1.0)               # dv=0 -> zero noise
