@@ -201,7 +201,15 @@ def test_sigkill_native_pool_reclaim_and_finish(tmp_path):
     q, r, d, _ = _counts(db)
     assert r >= 1, "kill did not land mid-batch"
 
-    done = run_workers(db, f"python3 {script}", n_jobs=-1, n_workers=6)
+    # drain with a FAST simulator: the slow sleep only exists so the SIGKILL
+    # lands mid-batch; at the 100k-job soak size a slow drain would take hours
+    fields = " ".join(
+        f"${(i % NPAR) + 1}" for i in range(NMET)
+    )
+    fast = tmp_path / "fast_sim.sh"
+    fast.write_text(f"#!/bin/sh\necho {fields}\n")
+    fast.chmod(fast.stat().st_mode | stat.S_IEXEC)
+    done = run_workers(db, str(fast), n_jobs=-1, n_workers=6)
     q, r, d, max_att = _counts(db)
     assert (q, r, d) == (0, 0, N_JOBS)
     assert max_att >= 2
