@@ -782,7 +782,9 @@ class AbcSmc:
         key = self._key(seed)
         k_pick, k_seed = jax.random.split(key)
         idx = np.asarray(
-            resample.categorical_indices(k_pick, jnp.asarray(w), n)
+            resample.resample_indices(
+                k_pick, jnp.asarray(w), n, self.config.resample_method
+            )
         )
         chosen = pars[idx]
         upars = np.asarray(

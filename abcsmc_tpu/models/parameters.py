@@ -87,6 +87,13 @@ class Parameter:
         distribution the rejection loop accepts."""
         raise NotImplementedError
 
+    def value_bounds(self) -> tuple[float, float]:
+        """Closed interval of valid *post-recast* values (used to clip away
+        float overshoot of the inverse-CDF back-transform; a few ulps past
+        the bound would otherwise produce a particle outside prior support,
+        which the rejection loop could never emit)."""
+        return self.noise_support()
+
 
 class _IntRecastMixin:
     """INT parameters flatten to the nearest integer (Parameter.h:49-56)."""
@@ -186,6 +193,12 @@ class DiscreteUniformPrior(_IntRecastMixin, Parameter):
         # rounding maps (min-0.5, max+0.5) onto the valid integers, so this is
         # the rejection loop's acceptance region in pre-recast space
         return (self.min_val - 0.5, self.max_val + 0.5)
+
+    def value_bounds(self):
+        # post-recast values are the integers themselves; clipping to them
+        # also covers the exact-boundary case where jnp.round's half-to-even
+        # would give max+1 (odd max) from x == max+0.5
+        return (float(self.min_val), float(self.max_val))
 
 
 class PseudoParameter(Parameter):
@@ -452,6 +465,17 @@ class ParameterSet:
             b = (hi[None, :] - mu) / safe_sigma[None, :]
             z = jax.random.truncated_normal(key, a, b, mu.shape, mu.dtype)
             x = self.recast(mu + z * safe_sigma[None, :])
+            # clip away float overshoot of the back-transform: truncated_normal
+            # keeps z inside (a, b), but a/b and mu + z*sigma are each rounded,
+            # so x can land a few ulps outside support when mu hugs a bound
+            # with small sigma - a particle the rejection loop could never emit
+            vlo = jnp.asarray(
+                [p.value_bounds()[0] for p in self.params], mu.dtype
+            )
+            vhi = jnp.asarray(
+                [p.value_bounds()[1] for p in self.params], mu.dtype
+            )
+            x = jnp.clip(x, vlo[None, :], vhi[None, :])
             # converged columns (dv == 0): zero noise, keep mu (the reference
             # adds N(0, 0) there)
             return jnp.where(live[None, :], x, mu)

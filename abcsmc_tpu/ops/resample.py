@@ -3,9 +3,11 @@
 The reference draws particle indices from GSL's discrete distribution
 (gsl_ran_discrete, src/AbcUtil.cpp:111-120) - i.e. iid categorical draws
 proportional to the (arbitrarily normalized) weights - then perturbs each draw
-with truncated (MV-)normal noise (src/AbcUtil.cpp:377-404). Here the categorical
-draw is the Gumbel-max trick vectorized over all N proposals at once, and the
-perturbation loops live in ParameterSet.noise_independent / noise_multivariate.
+with truncated (MV-)normal noise (src/AbcUtil.cpp:377-404). Here the
+categorical draw is inverse-CDF (cumsum + searchsorted; Gumbel-max measured
+9x slower at 1M x 50k), with an opt-in lower-variance systematic
+(stratified) variant, and the perturbation lives in
+ParameterSet.noise_independent / noise_multivariate.
 """
 
 from __future__ import annotations
@@ -45,11 +47,25 @@ def systematic_indices(key, weights, num_samples: int):
     w = jnp.asarray(weights)
     cdf = jnp.cumsum(w)
     u = jax.random.uniform(key, (), w.dtype)
-    pts = (jnp.arange(num_samples, dtype=w.dtype) + u) * (
-        cdf[-1] / num_samples
+    pts = _stratum_points(
+        jnp.arange(num_samples), u, cdf[-1] / num_samples, w.dtype
     )
     idx = jnp.searchsorted(cdf, pts, method="sort")
     return jnp.minimum(idx, w.shape[0] - 1)
+
+
+_STRATUM_BLOCK = 4096
+
+
+def _stratum_points(i, u, scale, dtype):
+    """(i + u) * scale without adding the fractional offset to a large index
+    in f32: at i >= 2^22 the sum i + u quantizes u away (gone entirely by
+    2^23), which silently turns systematic resampling offset-free. Split
+    i = hi*B + lo so each product is exact-ish and small relative to the
+    total weight before the adds."""
+    hi = (i // _STRATUM_BLOCK).astype(dtype)
+    lo = (i % _STRATUM_BLOCK).astype(dtype)
+    return hi * (_STRATUM_BLOCK * scale) + (lo + u) * scale
 
 
 def resample_indices(key, weights, num_samples: int, method: str = "multinomial"):

@@ -446,14 +446,17 @@ class ShardedGeneration:
                 # the padded size instead would leave the top pad/n_pad slice
                 # of cumulative weight reachable only by masked rows, biasing
                 # survivors late in CDF order low.
+                from abcsmc_tpu.ops.resample import _stratum_points
+
                 u_g = jax.random.uniform(
                     jax.random.fold_in(key, 131071), (), self.dtype
                 )
                 g2 = jnp.minimum(
-                    shard * local_next + jnp.arange(local_next),
-                    n_next - 1,
-                ).astype(self.dtype)
-                pts = (g2 + u_g) * (cdf[-1] / n_next)
+                    shard * local_next + jnp.arange(local_next), n_next - 1
+                )
+                # split-index arithmetic: adding u_g to a large f32 index
+                # would quantize the offset away above ~2^22 rows
+                pts = _stratum_points(g2, u_g, cdf[-1] / n_next, self.dtype)
                 pick = jnp.minimum(
                     jnp.searchsorted(cdf, pts, method="sort"), keep - 1
                 )

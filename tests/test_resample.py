@@ -186,3 +186,59 @@ def test_resample_method_config_validation():
                         ).resample_method == "systematic"
     with _pytest.raises(ConfigError):
         parse_config({**base, "resample_method": "bogus"})
+
+
+def test_systematic_offset_survives_large_indices_f32():
+    """Regression: (i + u) computed directly in f32 quantizes the stratum
+    offset away above ~2^22 and drops it entirely by 2^23; the split-index
+    formulation must preserve it at any scale."""
+    from abcsmc_tpu.ops.resample import _stratum_points
+
+    scale = jnp.float32(1e-7)
+    i = jnp.asarray([9_000_000], dtype=jnp.int32)
+    p0 = float(_stratum_points(i, jnp.float32(0.0), scale, jnp.float32)[0])
+    p1 = float(_stratum_points(i, jnp.float32(0.37), scale, jnp.float32)[0])
+    # naive f32: the f32 spacing at 9e6 is 1.0, so (9e6 + 0.37) rounds back
+    # to 9e6 exactly - the offset vanishes
+    assert np.float32(9_000_000.0) + np.float32(0.37) == np.float32(9_000_000.0)
+    assert p1 > p0
+    # the final add rounds to the f32 ulp of the total point value (~6e-8
+    # here), so the offset lands within one ulp of its exact displacement -
+    # vs the naive formulation where it is exactly zero
+    ulp = float(np.spacing(np.float32(p0)))
+    assert abs((p1 - p0) - 0.37e-7) <= ulp
+
+
+def test_systematic_count_invariant_at_5m_f32():
+    """The floor/ceil count guarantee must hold for f32 weights at a
+    population size past the naive-f32 breakdown point (2^22)."""
+    k = 16
+    w = jnp.asarray(np.linspace(0.5, 2.0, k), jnp.float32)
+    n = 5_000_000
+    idx = np.asarray(resample.systematic_indices(jax.random.PRNGKey(3), w, n))
+    counts = np.bincount(idx, minlength=k)
+    expected = n * np.asarray(w, np.float64) / float(np.asarray(w).sum())
+    # f32 cdf/pts rounding can shift a stratum boundary by ~1 count at this
+    # scale; the invariant must hold to +-2 (the naive version is off by
+    # hundreds and systematically aligned)
+    assert np.all(counts >= np.floor(expected) - 2)
+    assert np.all(counts <= np.ceil(expected) + 2)
+
+
+def test_noise_inverse_cdf_never_escapes_support():
+    """Regression: float overshoot of the inverse-CDF back-transform must not
+    emit values outside prior support (mu at the bound, tiny sigma - the
+    late-generation regime)."""
+    from abcsmc_tpu.models.parameters import (
+        ContinuousUniformPrior as CU,
+        DiscreteUniformPrior as DU,
+        ParameterSet as PS,
+    )
+
+    ps = PS([DU("d", 1, 49), CU("c", 0.0, 1.0)])   # odd int max: round(49.5)=50
+    n = 200_000
+    mu = jnp.tile(jnp.array([[49.0, 1.0]]), (n, 1))  # hugging upper bounds
+    dv = jnp.array([1e-8, 1e-10])
+    out = np.asarray(ps.noise_independent(jax.random.PRNGKey(9), mu, dv))
+    assert out[:, 0].max() <= 49 and out[:, 0].min() >= 1
+    assert out[:, 1].max() <= 1.0 and out[:, 1].min() >= 0.0
