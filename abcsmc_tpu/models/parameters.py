@@ -453,11 +453,11 @@ class ParameterSet:
         sigma = jnp.sqrt(jnp.asarray(doubled_variance, mu.dtype))
 
         if method == "inverse_cdf":
-            lo = jnp.asarray(
-                [p.noise_support()[0] for p in self.params], mu.dtype
-            )
-            hi = jnp.asarray(
-                [p.noise_support()[1] for p in self.params], mu.dtype
+            # per-column (pre-recast lo, hi) and (post-recast vlo, vhi)
+            bounds = [p.noise_support() + p.value_bounds()
+                      for p in self.params]
+            lo, hi, vlo, vhi = (
+                jnp.asarray(col, mu.dtype) for col in zip(*bounds)
             )
             live = sigma > 0
             safe_sigma = jnp.where(live, sigma, 1.0)
@@ -469,12 +469,6 @@ class ParameterSet:
             # keeps z inside (a, b), but a/b and mu + z*sigma are each rounded,
             # so x can land a few ulps outside support when mu hugs a bound
             # with small sigma - a particle the rejection loop could never emit
-            vlo = jnp.asarray(
-                [p.value_bounds()[0] for p in self.params], mu.dtype
-            )
-            vhi = jnp.asarray(
-                [p.value_bounds()[1] for p in self.params], mu.dtype
-            )
             x = jnp.clip(x, vlo[None, :], vhi[None, :])
             # converged columns (dv == 0): zero noise, keep mu (the reference
             # adds N(0, 0) there)

@@ -73,6 +73,9 @@ def resample_indices(key, weights, num_samples: int, method: str = "multinomial"
     ``systematic`` (lower-variance; see :func:`systematic_indices`)."""
     if method == "systematic":
         return systematic_indices(key, weights, num_samples)
+    if method != "multinomial":
+        # config.parse_config validates its key; this guards direct API calls
+        raise ValueError(f"unknown resample method {method!r}")
     return categorical_indices(key, weights, num_samples)
 
 

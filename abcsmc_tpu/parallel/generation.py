@@ -30,6 +30,7 @@ from abcsmc_tpu.models.simulators import DeviceSimulator
 from abcsmc_tpu.models.transforms import ParameterTransform
 from abcsmc_tpu.ops import pls as pls_mod
 from abcsmc_tpu.ops import weights as weights_mod
+from abcsmc_tpu.ops.resample import _stratum_points
 from abcsmc_tpu.parallel.mesh import PARTICLE_AXIS
 
 AXIS = PARTICLE_AXIS
@@ -446,8 +447,6 @@ class ShardedGeneration:
                 # the padded size instead would leave the top pad/n_pad slice
                 # of cumulative weight reachable only by masked rows, biasing
                 # survivors late in CDF order low.
-                from abcsmc_tpu.ops.resample import _stratum_points
-
                 u_g = jax.random.uniform(
                     jax.random.fold_in(key, 131071), (), self.dtype
                 )
