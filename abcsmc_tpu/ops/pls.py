@@ -220,11 +220,47 @@ def _per_row_sq_errors(R, Q, x_val, y_val):
     return resid * resid
 
 
+def _fmix32(x):
+    """murmur3 finalizer: full-avalanche 32-bit mix."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def vdv_seed(key):
+    """Scalar uint32 sign-stream seed from a PRNG key. Replicated math: every
+    mesh shard derives the identical seed from the replicated step key."""
+    return jax.random.bits(jax.random.fold_in(key, 98321), (), jnp.uint32)
+
+
+def vdv_signs(seed, n_perm: int, gidx, dtype):
+    """+-1 sign matrix [n_perm, len(gidx)] for the van der Voet randomization
+    test, counter-based on (seed, permutation index, GLOBAL row index) only.
+
+    The statistic built from these signs is therefore invariant to mesh
+    layout: a held-out row contributes the same sign no matter which device
+    holds it or where it sits in the shard-local buffer, so a 1-device and an
+    8-device mesh compute the SAME selection on identical data (component
+    selection is a property of the data, not the mesh - the reference call
+    site src/AbcUtil.cpp:446-449 is likewise layout-free)."""
+    g = jnp.asarray(gidx).astype(jnp.uint32)
+    k = jnp.arange(n_perm, dtype=jnp.uint32)
+    h = _fmix32(g[None, :] ^ _fmix32(k[:, None] ^ jnp.uint32(seed)))
+    return jnp.where((h & jnp.uint32(1)) == 1, 1.0, -1.0).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("n_perm",))
-def _vdv_pvalues(sq_err, key, n_perm: int):
+def _vdv_pvalues(sq_err, key, n_perm: int, gidx=None):
     """Van der Voet (1994) sign-randomization p-values: for each component
     count A and response j, test H0 'A performs as well as the PRESS-minimal
-    count' by randomizing the signs of the per-row error differences."""
+    count' by randomizing the signs of the per-row error differences.
+
+    ``gidx`` (optional [nv] int): global row indices of the validation rows,
+    making the sign stream layout-invariant (see :func:`vdv_signs`); defaults
+    to 0..nv-1."""
     nv, A, p = sq_err.shape
     press = jnp.sum(sq_err, axis=0)                      # [A, p]
     best = jnp.argmin(press, axis=0)                     # [p]
@@ -233,9 +269,9 @@ def _vdv_pvalues(sq_err, key, n_perm: int):
     )                                                    # [nv, 1, p]
     d = sq_err - best_err                                # [nv, A, p]
     t_obs = jnp.mean(d, axis=0)                          # [A, p]
-    signs = jax.random.rademacher(
-        key, (n_perm, nv), dtype=sq_err.dtype
-    )
+    if gidx is None:
+        gidx = jnp.arange(nv)
+    signs = vdv_signs(vdv_seed(key), n_perm, gidx, sq_err.dtype)
     t_perm = jnp.einsum("kn,nap->kap", signs, d) / nv    # [n_perm, A, p]
     return jnp.mean(
         jnp.abs(t_perm) >= jnp.abs(t_obs)[None, :, :], axis=0
@@ -244,12 +280,16 @@ def _vdv_pvalues(sq_err, key, n_perm: int):
 
 def optimal_num_components_vdv(
     model: PLSModel, x_val, y_val, key, n_perm: int = 199,
-    alpha: float = 0.25,
+    alpha: float = 0.25, gidx=None,
 ) -> jnp.ndarray:
     """Per-response optimal component counts (1-based) by van der Voet's
     randomization test - the selection rule upstream tjhladish/PLS uses: the
     *fewest* components whose held-out errors are not significantly worse
-    (p > alpha) than the PRESS-minimal count's."""
+    (p > alpha) than the PRESS-minimal count's.
+
+    ``gidx``: global row indices of the validation rows (layout-invariant
+    sign stream; pass the same indices the sharded path sees to make this
+    the exactness oracle for parallel.generation's distributed vdv)."""
     x_val = jnp.asarray(x_val)
     y_val = jnp.asarray(y_val)
     if y_val.ndim == 1:
@@ -257,7 +297,7 @@ def optimal_num_components_vdv(
     sq_err = _per_row_sq_errors(
         model.rotations, model.y_loadings, x_val, y_val
     )
-    pvals = _vdv_pvalues(sq_err, key, n_perm)
+    pvals = _vdv_pvalues(sq_err, key, n_perm, gidx)
     ok = pvals > alpha
     # the PRESS-minimal count itself always has p == 1
     return jnp.argmax(ok, axis=0) + 1

@@ -102,7 +102,11 @@ def pls_scores_for_ranking(
     model = pls_mod.fit(z_met[:n_train], z_par[:n_train], ncomp=max_components)
     if optimal_method == "vdv":
         counts = pls_mod.optimal_num_components_vdv(
-            model, z_met[n_train:], z_par[n_train:], jax.random.PRNGKey(0)
+            model, z_met[n_train:], z_par[n_train:], jax.random.PRNGKey(0),
+            # absolute row indices: the sign stream is a function of the
+            # GLOBAL row index, so this host rule and the mesh-sharded vdv
+            # (parallel.generation) are the same statistic on the same data
+            gidx=jnp.arange(n_train, n),
         )
     else:
         em = model.cv_new_data(z_met[n_train:], z_par[n_train:])

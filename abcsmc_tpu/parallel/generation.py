@@ -102,6 +102,10 @@ class ShardedGeneration:
         self.pls_optimal_method = pls_optimal_method
         self.vdv_permutations = int(vdv_permutations)
         self.vdv_max_rows = int(vdv_max_rows)
+        if resample_method not in ("multinomial", "systematic"):
+            # mirror ops.resample.resample_indices: a typo must not silently
+            # fall through to the multinomial branch
+            raise ValueError(f"unknown resample method {resample_method!r}")
         self.resample_method = resample_method
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
@@ -325,27 +329,53 @@ class ShardedGeneration:
                     # van der Voet randomization test, distributed: the
                     # T-statistics are row sums, so per-shard partials psum.
                     # Per-row squared errors are only needed here, and only on
-                    # a capped subset of rows (the test keeps essentially full
-                    # power at ~1e5 rows; below the cap it uses every row and
-                    # is exact).
+                    # HELD-OUT rows; the capped window is taken from the TAIL
+                    # of each shard's slice, where its held-out rows live
+                    # (training rows are the first n_train GLOBAL indices).
+                    # When the cap is not binding the window covers every
+                    # held-out row of the shard and the statistic is exact;
+                    # at least one held-out row is always in some shard's
+                    # window (n_train <= n_true - 1 by construction).
+                    # Round-2 regression: subsampling the *head* of each
+                    # shard selected ZERO held-out rows whenever
+                    # (ndev-1)*local_n + cap <= n_train - e.g. any
+                    # single-chip population with n_train > vdv_max_rows -
+                    # silently collapsing selection to 1 component.
                     cap = max(-(-int(self.vdv_max_rows) // ndev), 1)
                     nsub = min(local_n, cap)
-                    t_s = T_l[:nsub]                              # [ns, A]
+                    # window [start, start+nsub) ends at the last valid row
+                    # of the shard; rows below n_train (training) or >= hi
+                    # (padding) inside it carry test == 0, so they contribute
+                    # exact zeros to every sum
+                    hi = jnp.clip(n_true - shard * local_n, 0, local_n)
+                    start = jnp.maximum(hi - nsub, 0)
+                    t_s = jax.lax.dynamic_slice_in_dim(
+                        T_l, start, nsub, axis=0
+                    )                                             # [ns, A]
+                    zp_s = jax.lax.dynamic_slice_in_dim(
+                        zpar_l, start, nsub, axis=0
+                    )
+                    test_s = jax.lax.dynamic_slice_in_dim(
+                        test, start, nsub, axis=0
+                    )                                             # [ns, 1]
+                    g_s = shard * local_n + start + jnp.arange(nsub)
                     contribs = t_s[:, :, None] * QT[None, :, :]   # [ns, A, p]
                     preds = jnp.cumsum(contribs, axis=1)
-                    resid = zpar_l[:nsub, None, :] - preds
-                    sq = resid * resid * test[:nsub, :, None]     # [ns, A, p]
+                    resid = zp_s[:, None, :] - preds
+                    sq = resid * resid * test_s[:, :, None]       # [ns, A, p]
                     best = jnp.argmin(press, axis=0)              # [p]
                     best_err = jnp.take_along_axis(
                         sq, best[None, None, :].repeat(nsub, 0), axis=1
                     )                                             # [ns, 1, p]
                     dd = sq - best_err                            # [ns, A, p]
                     t_obs = jax.lax.psum(jnp.sum(dd, axis=0), AXIS)
-                    sgn = jax.random.rademacher(
-                        jax.random.fold_in(
-                            jax.random.fold_in(key, 98321), shard
-                        ),
-                        (self.vdv_permutations, nsub), self.dtype,
+                    # signs are a pure function of (key, permutation, GLOBAL
+                    # row index): the selection is layout-invariant and, when
+                    # the cap is not binding, EQUALS the host rule
+                    # ops.pls.optimal_num_components_vdv on the same data
+                    sgn = pls_mod.vdv_signs(
+                        pls_mod.vdv_seed(key), self.vdv_permutations, g_s,
+                        self.dtype,
                     )
                     t_perm = jax.lax.psum(
                         jnp.einsum("kn,nap->kap", sgn, dd), AXIS
@@ -447,8 +477,12 @@ class ShardedGeneration:
                 # the padded size instead would leave the top pad/n_pad slice
                 # of cumulative weight reachable only by masked rows, biasing
                 # survivors late in CDF order low.
+                # double fold-in: a disjoint derivation path from the
+                # per-shard keys fold_in(key, shard), so no shard index can
+                # alias the offset stream
                 u_g = jax.random.uniform(
-                    jax.random.fold_in(key, 131071), (), self.dtype
+                    jax.random.fold_in(jax.random.fold_in(key, 131071), 0),
+                    (), self.dtype,
                 )
                 g2 = jnp.minimum(
                     shard * local_next + jnp.arange(local_next), n_next - 1

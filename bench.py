@@ -174,12 +174,18 @@ def main():
     sync(run(key))
 
     times = []
+    res = None
     for i in range(5):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        sync(run(k))
+        res = run(k)
+        sync(res)
         times.append(time.perf_counter() - t0)
     best = min(times)
+    # selection observability (VERDICT r2 #7): a degenerate component
+    # selection (ncomp collapsing to 1 on structured data) must be visible in
+    # the bench artifact itself, not require code archaeology
+    ncomp_used = int(np.asarray(jax.device_get(res.ncomp_used)))
 
     if CPU_FALLBACK:
         # a 100k CPU run scored against the 1M TPU target would be
@@ -194,6 +200,7 @@ def main():
             "value": round(best, 4),
             "unit": "s",
             "vs_baseline": None,
+            "ncomp_used": ncomp_used,
         }))
     else:
         print(json.dumps({
@@ -205,6 +212,7 @@ def main():
             "value": round(best, 4),
             "unit": "s",
             "vs_baseline": round(TARGET_S / best, 2),
+            "ncomp_used": ncomp_used,
         }))
 
 
