@@ -502,12 +502,29 @@ class AbcSmc:
         cfg = self.config
         if mesh is None:
             mesh = particle_mesh()
+        bridge_unsupported = (
+            isinstance(self.simulator, HostBridgeSimulator)
+            and not backend_supports_callbacks()
+        )
+        if bridge_unsupported:
+            # loud, not verbose-gated: the user asked for the io_callback
+            # bridge and this backend (e.g. the tunneled axon PJRT plugin)
+            # cannot run host callbacks - their black-box simulator will run
+            # in the plain host loop, NOT inside the fused device program
+            # (docs/MIGRATION.md "Host-bridged simulators")
+            import warnings
+
+            warnings.warn(
+                "HostBridgeSimulator: backend "
+                f"{jax.default_backend()!r} does not support host callbacks "
+                "(io_callback); falling back to the host engine loop - the "
+                "simulator will not run inside the fused device program",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         device_ok = (
             isinstance(self.simulator, DeviceSimulator)
-            and (
-                not isinstance(self.simulator, HostBridgeSimulator)
-                or backend_supports_callbacks()
-            )
+            and not bridge_unsupported
             # the fused step has no Box-Cox stage (per-column skewness
             # optimization is host-side); keep the transform's semantics by
             # routing through the host engine rather than silently skipping it
@@ -586,14 +603,33 @@ class AbcSmc:
         )
 
         key = self._key(seed)
+        pending_mets = None
         if pending is not None:
-            # resume: replay the pending population (params + stored
-            # per-particle seeds) fully on device; rows already simulated
-            # reproduce bit-identically (device sims are seed-deterministic)
-            # and the guarded writeback keeps their stored values regardless
+            # resume the pending population from params + stored per-particle
+            # seeds. Rows already 'D' are ranked from their STORED metrics:
+            # they may have been produced by a different backend/dtype (host
+            # f64 store resumed on an f32 device), and the posterior ranks
+            # written must agree with what --process would compute from the
+            # durable data (the reference ranking always reads the DB,
+            # src/AbcSmc.cpp:596-661). Only the not-yet-done rows are
+            # (re)simulated, on device, from their stored seeds.
             params = jnp.asarray(pending.params, gen.dtype)
             seeds = jnp.asarray(pending.seeds.astype(np.uint32))
             pending_serials = pending.serials
+            if np.any(pending.statuses == "D"):
+                from abcsmc_tpu.parallel.generation import sharded_simulate
+
+                upars = self.transform.to_model_space(params).astype(
+                    gen.dtype
+                )
+                sim_mets = sharded_simulate(
+                    self.simulator, mesh, upars, seeds, pending.size
+                )
+                done = pending.statuses == "D"
+                merged = np.where(
+                    done[:, None], pending.metrics, sim_mets
+                )
+                pending_mets = jnp.asarray(merged, gen.dtype)
         else:
             key, k0 = jax.random.split(key)
             params, seeds = gen.init_population(k0, cfg.smc_size_at(0))
@@ -618,10 +654,17 @@ class AbcSmc:
             n_t = cfg.smc_size_at(t)
             last = t + 1 >= cfg.num_smc_sets
             n_next = 0 if last else cfg.smc_size_at(t + 1)
-            res = gen.step(
-                kt, params, seeds, cfg.pred_prior_size_at(t), n_next, state,
-                n_valid=n_t,
-            )
+            if t == t0 and pending_mets is not None:
+                # resumed set: metrics are the stored-'D'/re-simulated merge
+                res = gen.step_precomputed(
+                    kt, params, pending_mets, cfg.pred_prior_size_at(t),
+                    n_next, state, n_valid=n_t,
+                )
+            else:
+                res = gen.step(
+                    kt, params, seeds, cfg.pred_prior_size_at(t), n_next,
+                    state, n_valid=n_t,
+                )
             # keep device references; the host fetch happens in the mirror
             # loop below so generation t+1 dispatches without waiting on a
             # (tunnel-slow) O(N) device->host transfer of generation t

@@ -207,6 +207,72 @@ def test_run_device_resumes_half_simulated_store(tmp_path):
     assert abs(pars[:, 1].mean() - 8.4) < 8
 
 
+def test_run_device_resume_ranks_from_stored_metrics(tmp_path):
+    """VERDICT r2 item #3: a mid-set device resume must rank from the
+    DURABLE metrics, not from its own re-simulation. Stored 'D' rows here are
+    perturbed as if written by a different backend/dtype; the posterior ranks
+    the device continuation writes for the resumed set must equal a pure-host
+    continuation's (the reference ranking always reads the DB,
+    src/AbcSmc.cpp:596-661)."""
+    import shutil
+
+    from abcsmc_tpu.models.simulators import make_gaussian_simulator
+
+    def gauss_cfg(db):
+        return {
+            "smc_iterations": 2,
+            "num_samples": 64,
+            "predictive_prior_fraction": 0.25,
+            "filter": "SIMPLE",   # key-free ranking: host/device bit-compare
+            "parameters": [
+                {"name": "mu", "dist_type": "UNIFORM", "num_type": "FLOAT",
+                 "par1": -5.0, "par2": 5.0},
+                {"name": "sigma", "dist_type": "UNIFORM",
+                 "num_type": "FLOAT", "par1": 0.5, "par2": 5.0},
+            ],
+            "metrics": [
+                {"name": "mean", "num_type": "FLOAT", "value": 1.0},
+                {"name": "sd", "num_type": "FLOAT", "value": 2.0},
+            ],
+            "database_filename": db,
+        }
+
+    sim = make_gaussian_simulator()
+    db = str(tmp_path / "seed.sqlite")
+    abc = AbcSmc(gauss_cfg(db), simulator=sim)
+    abc.build_database(seed=2)
+    abc.simulate_next_particles(n=24)     # 24 of 64 rows of set 0 are 'D'
+    abc.storage.close()
+    # make the stored metrics distinguishable from what re-simulating the
+    # same seeds would produce (as a foreign-backend store would be)
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "update met set mean = mean + 0.37, sd = sd * 1.05 where serial in "
+        "(select serial from job where status = 'D')"
+    )
+    conn.commit()
+    conn.close()
+
+    db_host = str(tmp_path / "host.sqlite")
+    db_dev = str(tmp_path / "dev.sqlite")
+    shutil.copy(db, db_host)
+    shutil.copy(db, db_dev)
+
+    AbcSmc(gauss_cfg(db_host), simulator=sim).run(seed=21)
+    AbcSmc(gauss_cfg(db_dev), simulator=sim).run_device(seed=21)
+
+    def set0_ranks(path):
+        conn = sqlite3.connect(path)
+        rows = conn.execute(
+            "select serial, posterior from job where smcSet = 0 "
+            "order by serial"
+        ).fetchall()
+        conn.close()
+        return rows
+
+    assert set0_ranks(db_dev) == set0_ranks(db_host)
+
+
 def test_run_device_resumes_at_set_boundary(tmp_path):
     """A finished shorter run extends on the device path when the config asks
     for more sets (reference behavior: --process proposes the next set)."""
