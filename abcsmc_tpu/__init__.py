@@ -33,7 +33,23 @@ import jax as _jax
 # (e.g. for heavy neural device-simulators) via ABCSMC_MATMUL_PRECISION.
 _prec = _os.environ.get("ABCSMC_MATMUL_PRECISION", "highest")
 if _prec and _prec != "unset":
-    _jax.config.update("jax_default_matmul_precision", _prec)
+    # validate before touching global config: a garbage value must not make
+    # `import abcsmc_tpu` raise from inside jax.config.update
+    _valid = {
+        "default", "high", "highest", "bfloat16", "tensorfloat32",
+        "float32", "bfloat16_3x",
+    }
+    if _prec in _valid:
+        _jax.config.update("jax_default_matmul_precision", _prec)
+    else:
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"ABCSMC_MATMUL_PRECISION={_prec!r} is not a JAX matmul "
+            f"precision (one of {sorted(_valid)} or 'unset'); leaving the "
+            "JAX default in place",
+            RuntimeWarning,
+        )
 
 from abcsmc_tpu.config import SmcConfig, ConfigError, parse_config
 from abcsmc_tpu.engine import AbcSmc

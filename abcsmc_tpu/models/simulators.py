@@ -130,36 +130,58 @@ class ExecSimulator(Simulator):
 class SharedLibSimulator(Simulator):
     """Shared-object simulator loaded with ctypes.
 
-    The reference dlopens a C++ ABI ``simulator(vector<double>, ...)`` symbol
-    (AbcSim.h:96-114), which is not portably loadable outside C++; the
-    tpu-native equivalent defines a C ABI:
+    Two ABIs are accepted:
 
-        int abc_simulator(const double* pars, size_t npar,
-                          unsigned long seed, unsigned long serial,
-                          double* mets, size_t nmet);
+    - the framework's portable C ABI:
 
-    returning 0 on success. ``nmet`` must be known up front (it is: the config's
-    metric count)."""
+          int abc_simulator(const double* pars, size_t npar,
+                            unsigned long seed, unsigned long serial,
+                            double* mets, size_t nmet);
+
+      returning 0 on success;
+    - the REFERENCE ABI: an unmangled ``simulator`` symbol of C++ type
+      ``vector<double>(vector<double>, unsigned long, unsigned long)``
+      (AbcSim.h:55-114). ctypes cannot call it directly, so a small C++
+      adapter is compiled on demand (models/ref_shim.py) - existing
+      reference simulator binaries run unmodified.
+
+    ``nmet`` must be known up front (it is: the config's metric count)."""
 
     def __init__(self, soname: str, nmet: int):
+        self.nmet = nmet
+        self._shim = None
         self.lib = ctypes.CDLL(soname)
         try:
             self._fn = self.lib.abc_simulator
         except AttributeError:
-            raise SimulatorError(
-                f"{soname} does not export C symbol 'abc_simulator'", code=-211
+            from abcsmc_tpu.models.ref_shim import (
+                ReferenceShim, has_reference_abi,
             )
+
+            if not has_reference_abi(soname):
+                raise SimulatorError(
+                    f"{soname} exports neither C symbol 'abc_simulator' nor "
+                    "the reference-ABI 'simulator'", code=-211
+                )
+            self._shim = ReferenceShim(soname)
+            self._fn = None
+            return
         self._fn.restype = ctypes.c_int
         self._fn.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_size_t,
             ctypes.c_ulong, ctypes.c_ulong,
             ctypes.POINTER(ctypes.c_double), ctypes.c_size_t,
         ]
-        self.nmet = nmet
 
     def run_batch(self, params, seeds, serials):
         rows = []
         for row, seed, serial in zip(params, seeds, serials):
+            if self._shim is not None:
+                rows.append(np.asarray(
+                    self._shim(row, int(seed), int(serial), self.nmet),
+                    np.float64,
+                ))
+                continue
             pars = (ctypes.c_double * len(row))(*[float(v) for v in row])
             mets = (ctypes.c_double * self.nmet)()
             rc = self._fn(pars, len(row), int(seed), int(serial), mets, self.nmet)
