@@ -525,10 +525,6 @@ class AbcSmc:
         device_ok = (
             isinstance(self.simulator, DeviceSimulator)
             and not bridge_unsupported
-            # the fused step has no Box-Cox stage (per-column skewness
-            # optimization is host-side); keep the transform's semantics by
-            # routing through the host engine rather than silently skipping it
-            and not cfg.box_cox
         )
         if not device_ok:
             if verbose:
@@ -599,6 +595,7 @@ class AbcSmc:
             max_retries=cfg.max_retries,
             pls_optimal_method=cfg.pls_optimal_method,
             resample_method=cfg.resample_method,
+            box_cox=cfg.box_cox,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 

@@ -80,10 +80,26 @@ def skewness(x):
     return jnp.where(v == 0, 0.0, third / jnp.power(v, 1.5))
 
 
+def box_cox_lambda_grid(lambda_min=-5.0, lambda_max=5.0, step=0.1):
+    """The lambda search grid, built so grid points are EXACT multiples of
+    ``step`` (in particular lambda == 0.0 exactly, selecting the log branch).
+    A floating-point-accumulated arange lands at ~9e-16 instead of 0, and
+    ``(x^lam - 1)/lam`` at that lambda is log(x) quantized to a few ulp (in
+    f32 it collapses to exactly 0) - skewness of that column is then
+    spuriously minimal."""
+    import numpy as _np
+
+    n_steps = int(round((lambda_max - lambda_min) / step))
+    base = round(lambda_min / step)
+    if abs(base * step - lambda_min) < 1e-9:
+        return _np.asarray((_np.arange(n_steps + 1) + base) * step)
+    return _np.asarray(lambda_min + step * _np.arange(n_steps + 1))
+
+
 def optimize_box_cox(x, lambda_min=-5.0, lambda_max=5.0, step=0.1):
     """Grid-search the Box-Cox lambda minimizing |skewness| (src/AbcUtil.cpp:89-109)."""
     x = jnp.asarray(x)
-    lambdas = jnp.arange(lambda_min, lambda_max + step / 2, step)
+    lambdas = jnp.asarray(box_cox_lambda_grid(lambda_min, lambda_max, step))
 
     def skew_for(lam):
         transformed = jnp.where(

@@ -29,6 +29,7 @@ from abcsmc_tpu.models.parameters import ParameterSet
 from abcsmc_tpu.models.simulators import DeviceSimulator
 from abcsmc_tpu.models.transforms import ParameterTransform
 from abcsmc_tpu.ops import pls as pls_mod
+from abcsmc_tpu.ops import stats as stats_mod
 from abcsmc_tpu.ops import weights as weights_mod
 from abcsmc_tpu.ops.resample import _stratum_points
 from abcsmc_tpu.parallel.mesh import PARTICLE_AXIS
@@ -81,6 +82,7 @@ class ShardedGeneration:
         vdv_permutations: int = 199,
         vdv_max_rows: int = 131_072,
         resample_method: str = "multinomial",
+        box_cox: bool = False,
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -102,6 +104,7 @@ class ShardedGeneration:
         self.pls_optimal_method = pls_optimal_method
         self.vdv_permutations = int(vdv_permutations)
         self.vdv_max_rows = int(vdv_max_rows)
+        self.box_cox = bool(box_cox)
         if resample_method not in ("multinomial", "systematic"):
             # mirror ops.resample.resample_indices: a typo must not silently
             # fall through to the multinomial branch
@@ -245,6 +248,11 @@ class ShardedGeneration:
         # tunneled backends can fail it)
         obs = np.asarray(self.obs, jax.dtypes.canonicalize_dtype(self.dtype))
         use_pls = self.filter_type == FilterType.PLS
+        # Box-Cox is a ranking-side transform only (host parity: the engine
+        # applies it inside ranking_pls, never for SIMPLE filtering, and
+        # stored/survivor metrics stay raw)
+        use_box_cox = self.box_cox and use_pls
+        bc_lambdas = stats_mod.box_cox_lambda_grid()
         eps = float(1e-30)
 
         def local_step(key, params_l, second_l, prev_par, prev_w, prev_dv):
@@ -267,10 +275,62 @@ class ShardedGeneration:
             # statistic; they only exist to square the buffer over the mesh
             vmask = (gidx < n_true).astype(self.dtype)[:, None]   # [ln, 1]
 
+            if use_box_cox:
+                # ---- Box-Cox each metric column + observed row, on device
+                # (host rule: ranking.apply_box_cox / stats.optimize_box_cox;
+                # the reference left this as a TODO, src/AbcUtil.cpp:430).
+                # Shift to positivity by the GLOBAL column min (incl. obs),
+                # then pick each column's lambda by |skewness| over the fixed
+                # grid. Moments are two-pass central psums - raw third
+                # moments cancel catastrophically at f32.
+                lam_grid = jnp.asarray(bc_lambdas, self.dtype)     # [L]
+                vinf = jnp.where(
+                    vmask > 0, mets_l, jnp.asarray(jnp.inf, self.dtype)
+                )
+                col_min = jax.lax.pmin(jnp.min(vinf, axis=0), AXIS)
+                col_min = jnp.minimum(col_min, obs)
+                shift = jnp.where(col_min <= 0, 1e-6 - col_min, 0.0)
+                v_l = mets_l + shift[None, :]
+
+                def bc(v, lam):
+                    lam_safe = jnp.where(lam == 0, 1.0, lam)
+                    return jnp.where(
+                        lam == 0, jnp.log(v),
+                        (jnp.power(v, lam) - 1.0) / lam_safe,
+                    )
+
+                def bc_pass1(_, lam):
+                    return None, jnp.sum(bc(v_l, lam) * vmask, axis=0)
+
+                _, bs1 = jax.lax.scan(bc_pass1, None, lam_grid)    # [L, M]
+                bc_mean = jax.lax.psum(bs1, AXIS) / n_true
+
+                def bc_pass2(_, xs):
+                    lam, mu = xs
+                    d = (bc(v_l, lam) - mu[None, :]) * vmask
+                    return None, (
+                        jnp.sum(d * d, axis=0), jnp.sum(d * d * d, axis=0)
+                    )
+
+                _, (bs2, bs3) = jax.lax.scan(
+                    bc_pass2, None, (lam_grid, bc_mean)
+                )
+                bvar = jax.lax.psum(bs2, AXIS) / (n_true - 1)
+                bthird = jax.lax.psum(bs3, AXIS) / n_true
+                skew = jnp.where(
+                    bvar == 0, 0.0, bthird / jnp.power(bvar, 1.5)
+                )
+                lam_c = lam_grid[jnp.argmin(jnp.abs(skew), axis=0)]  # [M]
+                rank_mets_l = bc(v_l, lam_c[None, :])
+                obs_eff = bc(obs + shift, lam_c)
+            else:
+                rank_mets_l = mets_l
+                obs_eff = obs
+
             # ---- global metric moments (psum) ----
-            mv = mets_l * vmask
+            mv = rank_mets_l * vmask
             s1 = jax.lax.psum(jnp.sum(mv, axis=0), AXIS)
-            s2 = jax.lax.psum(jnp.sum(mv * mets_l, axis=0), AXIS)
+            s2 = jax.lax.psum(jnp.sum(mv * rank_mets_l, axis=0), AXIS)
             mean = s1 / n_true
             sd = jnp.sqrt(
                 jnp.maximum(s2 - n_true * mean * mean, 0.0) / (n_true - 1)
@@ -279,8 +339,8 @@ class ShardedGeneration:
             # ranking._guard_sd; a tiny-eps floor would blow obs_z up to ~1e30
             # and swamp every informative column)
             sd = jnp.where(sd <= eps, 1.0, sd)
-            zmet_l = (mets_l - mean) / sd
-            obs_z = (obs - mean) / sd
+            zmet_l = (rank_mets_l - mean) / sd
+            obs_z = (obs_eff - mean) / sd
 
             if use_pls:
                 # ---- global parameter moments ----

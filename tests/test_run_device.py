@@ -339,13 +339,19 @@ def test_run_device_projection_sweep(tmp_path):
         assert status == "D"
 
 
-def test_run_device_box_cox_routes_to_host():
-    """box_cox has no device-step stage; run_device must apply it via the
-    host engine rather than silently skipping the transform."""
+def test_run_device_box_cox_stays_on_device():
+    """VERDICT r2 item #6: box_cox configs run the fused device path (the
+    transform is a device stage now, parallel/generation.py) - the host
+    fallback must NOT be taken."""
     cfg = dice_cfg(n=24)
     cfg["box_cox"] = True
     abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
                  storage=MemoryStorage())
+
+    def _no_host_fallback(*a, **k):
+        raise AssertionError("run_device fell back to the host engine")
+
+    abc.run = _no_host_fallback
     abc.run_device(seed=2)
     pars, _ = abc.posterior()
     assert pars.shape == (6, 2)
