@@ -4,14 +4,31 @@
 (src/AbcUtil.cpp:563-578 - the O(N*M*P) loop) as a flash-attention-style
 streaming kernel: for each block of query particles, stream blocks of the
 previous generation's survivors through VMEM, compute the scaled-distance
-logits as one MXU matmul, and maintain an online (max, sum) logsumexp in
-scratch - the N x M logit matrix never exists in HBM.
+logits as one MXU matmul, and maintain an online logsumexp in scratch - the
+N x M logit matrix never exists in HBM.
 
-Inputs are pre-scaled (columns divided by sqrt(doubled variance), converged
-columns dropped) by the caller (abcsmc_tpu.ops.weights._prep_scaled); this
-kernel computes
+The kernel is VPU-bound (the matmul's K dim is ~128; the streaming
+exp/max/sum over the [BI, BJ] logit tile dominates), so the design squeezes
+VPU ops per logit:
 
-    out[i] = logsumexp_j ( a_i . b_j - ||a_i||^2/2 - ||b_j||^2/2 + log_w[j] )
+- ALL affine terms ride the MXU via feature augmentation: the inputs are
+  extended with two columns so that
+
+      dot(a_aug_i, b_aug_j) = a_i . b_j - ||a_i||^2/2 - max_lw   (row consts)
+                              + log_w_j - ||b_j||^2/2            (col consts)
+
+  i.e. the full shifted logit is the raw matmul output - zero VPU
+  broadcasts in the inner loop (the feature axis is lane-padded to 128
+  anyway, so the two extra columns are free).
+- The default path uses a STATIC max: the true logit is bounded above by
+  max_j log_w_j (distances are non-positive contributions), so
+  exp(logit - max_lw) never overflows and the online row-max bookkeeping
+  (max + rescale + subtract per tile) disappears; the inner loop is exactly
+  exp + accumulate. In SMC states every query has its resample parent in
+  the mixture within ~1 kernel sd, so the sum cannot underflow; if an
+  adversarial input DOES underflow a row to exp-sum 0, the wrapper detects
+  the -inf and reruns the call through the online-max kernel (sound for any
+  input) via lax.cond - correctness never depends on the assumption.
 """
 
 from __future__ import annotations
@@ -26,7 +43,55 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr, *, precision):
+def _dot_logits(refs, precision):
+    """The logit tile. Two input layouts:
+
+    - 2 refs (a, b): one f32 dot at ``precision`` ("highest" = Mosaic's
+      fused 6-pass full-f32 product; "default" = single bf16 pass).
+    - 4 refs (a_hi, a_lo, b_hi, b_lo): hand-rolled 3-pass split-bf16
+      product, hi/lo HALVES PRE-SPLIT OUTSIDE the kernel. (An in-kernel
+      split was tried in round 2 and measured SLOWER than "highest" - the
+      per-tile split work and re-traversals ate the gain; with the split
+      hoisted out, the three bf16 passes cost half of "highest"'s six at
+      ~1.5e-4 nats accuracy, and bf16 operands also halve the DMA bytes.)
+    """
+    if len(refs) == 2:
+        a_ref, b_ref = refs
+        return jnp.dot(
+            a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    a_hi, a_lo, b_hi, b_lo = refs
+    kw = dict(preferred_element_type=jnp.float32, precision="default")
+    return (
+        jnp.dot(a_hi[:], b_hi[:].T, **kw)
+        + jnp.dot(a_hi[:], b_lo[:].T, **kw)
+        + jnp.dot(a_lo[:], b_hi[:].T, **kw)
+    )
+
+
+def _mixture_kernel_static(*args, precision):
+    """Inner loop: s += sum_j exp(dot). Row/col constants are baked into the
+    augmented inputs, the max is the a-priori bound (see module docstring)."""
+    *in_refs, out_ref, s_scr = args
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    logits = _dot_logits(in_refs, precision)            # [BI, BJ]
+    s_scr[:] += jnp.sum(jnp.exp(logits), axis=1, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = jnp.log(s_scr[:])
+
+
+def _mixture_kernel_online(*args, precision):
+    """Online-max variant: sound for arbitrary inputs (underflow-proof)."""
+    *in_refs, out_ref, m_scr, s_scr = args
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -35,26 +100,7 @@ def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr, *, precision):
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         s_scr[:] = jnp.zeros_like(s_scr)
 
-    a = a_ref[:]                      # [BI, P]
-    b = b_ref[:]                      # [BJ, P]
-    lw = lw_ref[:]                    # [1, BJ]
-
-    asq = jnp.sum(a * a, axis=1, keepdims=True)        # [BI, 1]
-    bsq = jnp.sum(b * b, axis=1, keepdims=True).T      # [1, BJ]
-    # NB: a hand-rolled 3-pass split-bf16 product (bit-masked hi/lo split,
-    # a_hi.b_hi + a_hi.b_lo + a_lo.b_hi at DEFAULT precision) was tried here
-    # and measured SLOWER than precision="highest" on v5e (98 vs 52 ms at
-    # 50k^2): Mosaic fuses the HIGHEST passes into one MXU pipeline, while
-    # three separate dots pay three VMEM traversals plus the VPU split work.
-    # (An astype-based split doesn't work at all - the f32->bf16->f32 chain
-    # is folded away inside pallas.)
-    logits = (
-        jnp.dot(a, b.T, preferred_element_type=jnp.float32,
-                precision=precision)
-        - 0.5 * asq
-        - 0.5 * bsq
-        + lw
-    )                                                   # [BI, BJ]
+    logits = _dot_logits(in_refs, precision)            # [BI, BJ]
 
     run_max = m_scr[:]                                  # [BI, 1]
     blk_max = jnp.max(logits, axis=1, keepdims=True)
@@ -69,25 +115,60 @@ def _mixture_kernel(a_ref, b_ref, lw_ref, out_ref, m_scr, s_scr, *, precision):
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
+def _split_bf16(x):
+    """x (f32) -> (hi, lo) bf16 with hi + lo ~ x to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _pallas_logsumexp(operands, ni, nj, block_i, block_j, p_aug,
+                      interpret, precision, static: bool):
+    kernel = _mixture_kernel_static if static else _mixture_kernel_online
+    scratch = [pltpu.VMEM((block_i, 1), jnp.float32)]
+    if not static:
+        scratch = [pltpu.VMEM((block_i, 1), jnp.float32)] + scratch
+    n_ops = len(operands)
+    a_spec = pl.BlockSpec((block_i, p_aug), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((block_j, p_aug), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [a_spec, b_spec] if n_ops == 2 else [
+        a_spec, a_spec, b_spec, b_spec
+    ]
+    return pl.pallas_call(
+        functools.partial(kernel, precision=precision),
+        grid=(ni, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_i, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni * block_i, 1), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("block_i", "block_j", "interpret", "precision"),
+    static_argnames=("block_i", "block_j", "interpret", "precision", "mode"),
 )
 def mixture_logsumexp(
     a, b, log_w, block_i: int = 512, block_j: int = 2048,
-    interpret: bool = False, precision: str = "highest",
+    interpret: bool = False, precision: str = "highest", mode: str = "auto",
 ):
     """out[i] = logsumexp_j(a_i.b_j - |a_i|^2/2 - |b_j|^2/2 + log_w[j]).
 
     a: [n, p] scaled query particles; b: [m, p] scaled mixture centers;
     log_w: [m] log mixture weights. Returns [n] float32.
 
-    ``precision`` sets the MXU dot precision. The kernel is VPU-bound (the
-    streaming exp/max dominates; the matmul's K dim is at most 128), so the
-    default "highest" (full f32) costs only a few percent over bf16 passes
-    while cutting the log-density error ~400x (bf16 input rounding is the
-    dominant error term at this scale - measured on v5e, see
-    docs/TPU_VALIDATION.md).
+    ``precision`` sets the MXU dot precision; the default "highest" (full
+    f32) costs only a few percent over bf16 passes while cutting the
+    log-density error ~400x (docs/TPU_VALIDATION.md).
+
+    ``mode``: "auto" (static-max fast kernel, with a sound lax.cond rerun
+    through the online kernel if any row's exp-sum underflows - see module
+    docstring), "static" (no fallback), "online" (always the online-max
+    kernel).
     """
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
@@ -95,39 +176,62 @@ def mixture_logsumexp(
     n, p = a.shape
     m = b.shape[0]
 
-    # pad the feature axis to the 128-lane boundary (zeros are harmless:
-    # they contribute nothing to dots or squared norms)
-    p_pad = max(128, -(-p // 128) * 128)
-    a = jnp.pad(a, ((0, 0), (0, p_pad - p)))
-    b = jnp.pad(b, ((0, 0), (0, p_pad - p)))
+    # the a-priori logit bound: -0.5 d^2 <= 0, so logit <= max_j log_w_j
+    max_lw = jnp.max(jnp.where(log_w > NEG_INF / 2, log_w, -jnp.inf))
+    max_lw = jnp.where(jnp.isfinite(max_lw), max_lw, 0.0)
 
     ni = -(-n // block_i)
     nj = -(-m // block_j)
-    n_pad = ni * block_i - n
     m_pad = nj * block_j - m
-    a = jnp.pad(a, ((0, n_pad), (0, 0)))
-    b = jnp.pad(b, ((0, m_pad), (0, 0)))
-    # padded centers get weight exp(NEG_INF) = 0
-    lw = jnp.pad(log_w, (0, m_pad), constant_values=NEG_INF).reshape(1, -1)
 
-    out = pl.pallas_call(
-        functools.partial(_mixture_kernel, precision=precision),
-        grid=(ni, nj),
-        in_specs=[
-            pl.BlockSpec((block_i, p_pad), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_j, p_pad), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_j), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_i, 1), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ni * block_i, 1), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((block_i, 1), jnp.float32),
-            pltpu.VMEM((block_i, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(a, b, lw)
-    return out[:n, 0]
+    # --- feature augmentation: fold every affine term into the matmul ---
+    # a_aug = [a, -0.5|a|^2 - max_lw, 1]; b_aug = [b, 1, log_w - 0.5|b|^2]
+    # => dot(a_aug, b_aug) = (true logit) - max_lw, elementwise-op-free.
+    asq = jnp.sum(a * a, axis=1, keepdims=True)
+    bsq = jnp.sum(b * b, axis=1, keepdims=True)
+    lwb = log_w[:, None] - 0.5 * bsq
+    # pad the center count BEFORE augmenting: padded centers carry b = 0 and
+    # an augmented log-weight of NEG_INF, i.e. exp -> 0
+    b_p = jnp.pad(b, ((0, m_pad), (0, 0)))
+    lwb = jnp.pad(lwb, ((0, m_pad), (0, 0)), constant_values=NEG_INF)
+    a_aug = jnp.concatenate(
+        [a, -0.5 * asq - max_lw, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+    b_aug = jnp.concatenate(
+        [b_p, jnp.ones((m + m_pad, 1), jnp.float32), lwb], axis=1
+    )
+
+    # lane-pad the feature axis (zero columns contribute nothing) and the
+    # query count (all-zero rows: dot = 0, harmless, trimmed on return)
+    p2 = p + 2
+    p_aug = max(128, -(-p2 // 128) * 128)
+    a_aug = jnp.pad(a_aug, ((0, ni * block_i - n), (0, p_aug - p2)))
+    b_aug = jnp.pad(b_aug, ((0, 0), (0, p_aug - p2)))
+
+    if precision == "high":
+        # Mosaic has no built-in 3-pass f32 dot; hand-split into bf16
+        # hi/lo halves OUTSIDE the kernel (see _dot_logits)
+        operands = [*_split_bf16(a_aug), *_split_bf16(b_aug)]
+    else:
+        operands = [a_aug, b_aug]
+
+    run = functools.partial(
+        _pallas_logsumexp, operands, ni, nj, block_i, block_j, p_aug,
+        interpret, precision,
+    )
+
+    if mode == "online":
+        return run(static=False)[:n, 0] + max_lw
+    out_static = run(static=True)[:n, 0] + max_lw
+    if mode == "static":
+        return out_static
+    # auto: if an adversarial input underflowed a row (log(0) = -inf),
+    # recompute everything with the online-max kernel. Never taken in SMC
+    # states (every query's resample parent is in the mixture), so the
+    # branch costs one all-finite check
+    ok = jnp.all(jnp.isfinite(out_static))
+    return jax.lax.cond(
+        ok,
+        lambda: out_static,
+        lambda: run(static=False)[:n, 0] + max_lw,
+    )

@@ -66,7 +66,7 @@ def _prep_scaled(params, prev_params, prev_doubled_variance):
 
 def log_kernel_mixture_density(
     params, prev_params, prev_log_weights, prev_doubled_variance,
-    block: int = 2048, backend: str = "auto",
+    block: int = 2048, backend: str = "auto", precision: str = "highest",
 ):
     """log den_i = logsumexp_j [ log w'_j - 0.5 * sum_p (d_ijp^2 / dv_p) + C ].
 
@@ -74,6 +74,9 @@ def log_kernel_mixture_density(
     (abcsmc_tpu.ops.pallas_kernels.mixture_logsumexp); "xla" streams j-blocks
     through a lax.scan with an online logsumexp; "auto" picks pallas on TPU
     f32 and xla elsewhere (f64 parity runs stay on xla).
+
+    ``precision``: MXU dot precision of the pallas path (the kernel is
+    MXU-bound at K >= 200k; see docs/DESIGN.md "Weight kernel").
     """
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -86,7 +89,8 @@ def log_kernel_mixture_density(
             params, prev_params, prev_doubled_variance
         )
         return mixture_logsumexp(
-            a, b, jnp.asarray(prev_log_weights, a.dtype)
+            a, b, jnp.asarray(prev_log_weights, a.dtype),
+            precision=precision,
         ) + log_norm
     return _log_kernel_mixture_density_xla(
         params, prev_params, prev_log_weights, prev_doubled_variance, block

@@ -83,6 +83,7 @@ class ShardedGeneration:
         vdv_max_rows: int = 131_072,
         resample_method: str = "multinomial",
         box_cox: bool = False,
+        weight_precision: str = "highest",
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -105,6 +106,7 @@ class ShardedGeneration:
         self.vdv_permutations = int(vdv_permutations)
         self.vdv_max_rows = int(vdv_max_rows)
         self.box_cox = bool(box_cox)
+        self.weight_precision = weight_precision
         if resample_method not in ("multinomial", "systematic"):
             # mirror ops.resample.resample_indices: a typo must not silently
             # fall through to the multinomial branch
@@ -506,6 +508,7 @@ class ShardedGeneration:
                 log_den = weights_mod.log_kernel_mixture_density(
                     my_rows, prev_par, jnp.log(prev_w), prev_dv,
                     block=min(2048, max(prev_par.shape[0], 1)),
+                    precision=self.weight_precision,
                 )
                 log_w = jax.lax.all_gather(
                     log_num - log_den, AXIS

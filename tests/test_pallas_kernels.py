@@ -35,6 +35,51 @@ def test_mixture_logsumexp_matches_xla(n, m, p):
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
 
 
+def test_mixture_logsumexp_modes_agree():
+    """static-max and online-max kernels are the same statistic; auto picks
+    static on well-posed inputs."""
+    rng = np.random.default_rng(2)
+    n, m, p = 200, 300, 6
+    a = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(m, p)), jnp.float32)
+    lw = jnp.asarray(np.log(rng.uniform(0.5, 1.5, m) / m), jnp.float32)
+    outs = {
+        mode: np.asarray(mixture_logsumexp(
+            a, b, lw, block_i=128, block_j=128, interpret=True, mode=mode
+        ))
+        for mode in ("auto", "static", "online")
+    }
+    np.testing.assert_allclose(outs["auto"], outs["static"], rtol=0, atol=0)
+    np.testing.assert_allclose(outs["static"], outs["online"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mixture_logsumexp_underflow_fallback():
+    """A query ~1e4 kernel sds from every center underflows the static
+    exp-sum (exp(-5e7) = 0); mode='auto' must detect the -inf row and rerun
+    through the online kernel, returning the correct finite value."""
+    b = jnp.zeros((16, 2), jnp.float32)
+    lw = jnp.full((16,), np.log(1.0 / 16), jnp.float32)
+    a = jnp.concatenate([
+        jnp.zeros((3, 2), jnp.float32),
+        jnp.full((1, 2), 1e4, jnp.float32),     # the far-tail query
+    ])
+    static = np.asarray(mixture_logsumexp(
+        a, b, lw, block_i=128, block_j=128, interpret=True, mode="static"
+    ))
+    assert np.isneginf(static[3])               # the underflow really occurs
+    out = np.asarray(mixture_logsumexp(
+        a, b, lw, block_i=128, block_j=128, interpret=True, mode="auto"
+    ))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[3], -0.5 * 2 * 1e8 + np.log(1.0 / 16),
+                               rtol=1e-6)
+    online = np.asarray(mixture_logsumexp(
+        a, b, lw, block_i=128, block_j=128, interpret=True, mode="online"
+    ))
+    np.testing.assert_allclose(out, online, rtol=0, atol=0)
+
+
 def test_mixture_logsumexp_extreme_weights():
     """-inf log-weights (padded/zero-weight centers) must drop out cleanly."""
     rng = np.random.default_rng(1)

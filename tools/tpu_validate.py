@@ -151,11 +151,18 @@ def main():
     )
     res = gen.step_precomputed(key, params, mets, keep, n, state)
     w = np.asarray(res.weights)
+    ncomp = int(np.asarray(res.ncomp_used))
     assert np.all(np.isfinite(w)) and w.shape == (keep,)
+    # selection observability (VERDICT r2 #7): a silently degenerate vdv
+    # (ncomp collapsing to 1 at the cap-binding 1M shape) must be visible in
+    # the artifact. NB these metrics are iid noise given params, so the
+    # PLS structure is weak here - the bench's structured-metric run is the
+    # ncomp > 1 witness; this line just records the value.
     lines += [
         "",
         f"Fused generation (1M x 6 x 13, keep 50k, sim excluded, vdv): "
-        f"**{t:.4f} s** on {len(jax.devices())} chip(s); weights finite.",
+        f"**{t:.4f} s** on {len(jax.devices())} chip(s); weights finite; "
+        f"ncomp_used={ncomp}.",
     ]
     print(lines[-1], flush=True)
 
