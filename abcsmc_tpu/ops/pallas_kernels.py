@@ -62,6 +62,9 @@ def _dot_logits(refs, precision):
             precision=precision,
         )
     a_hi, a_lo, b_hi, b_lo = refs
+    # operands are f32 whose values are bf16-exact (hi) / tiny residuals
+    # (lo); the DEFAULT-precision dot rounds them to bf16 losslessly (hi)
+    # or far below the 2^-16 target (lo)
     kw = dict(preferred_element_type=jnp.float32, precision="default")
     return (
         jnp.dot(a_hi[:], b_hi[:].T, **kw)
@@ -116,10 +119,20 @@ def _mixture_kernel_online(*args, precision):
 
 
 def _split_bf16(x):
-    """x (f32) -> (hi, lo) bf16 with hi + lo ~ x to ~16 mantissa bits."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """x (f32) -> (hi, lo) f32 pair with hi exactly bf16-representable
+    (low 16 mantissa bits masked off) and lo = x - hi the residual.
+
+    Bit-masked, NOT astype-round-tripped: XLA's TPU bf16-propagation pass
+    elides f32->bf16->f32 convert chains, which silently zeroes the lo half
+    (observed on hardware: the 'high' path matched plain bf16 bit-for-bit
+    until this was bitcast-based). Masking truncates toward zero rather
+    than round-to-nearest - that costs at most one bf16 ulp on hi, which lo
+    then carries exactly."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi, x - hi
 
 
 def _pallas_logsumexp(operands, ni, nj, block_i, block_j, p_aug,

@@ -83,7 +83,7 @@ class ShardedGeneration:
         vdv_max_rows: int = 131_072,
         resample_method: str = "multinomial",
         box_cox: bool = False,
-        weight_precision: str = "highest",
+        weight_precision: str = "high",
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(

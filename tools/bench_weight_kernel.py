@@ -149,12 +149,6 @@ def main():
             for j in range(nmet)
         ],
     })
-    gen = ShardedGeneration(
-        ParameterSet.from_specs(cfg.parameters),
-        ParameterTransform(cfg.parameters),
-        make_linear_gaussian_simulator(npar, nmet), np.zeros(nmet),
-        mesh=particle_mesh(),
-    )
     params = jnp.asarray(rng.uniform(0, 1, (n, npar)), jnp.float32)
     seeds = jnp.asarray(
         rng.integers(0, 2**31, n, dtype=np.int64).astype(np.uint32)
@@ -168,15 +162,25 @@ def main():
         jnp.full((keep,), 1.0 / keep, jnp.float32),
         jnp.full((npar,), 0.02, jnp.float32),
     )
-    t = timeit(
-        lambda kk: gen.step_precomputed(kk, params, mets, keep, n, state),
-        key,
-    )
-    emit(f"SMC generation 10M particles, keep 500k (sim excluded), "
-         f"{ndev} chip(s)", t, particles_per_sec=round(n / t))
-    t = timeit(lambda kk: gen.step(kk, params, seeds, keep, n, state), key)
-    emit(f"SMC generation 10M particles, keep 500k (sim included), "
-         f"{ndev} chip(s)", t, particles_per_sec=round(n / t))
+    for prec in ("highest", "high"):
+        gen = ShardedGeneration(
+            ParameterSet.from_specs(cfg.parameters),
+            ParameterTransform(cfg.parameters),
+            make_linear_gaussian_simulator(npar, nmet), np.zeros(nmet),
+            mesh=particle_mesh(), weight_precision=prec,
+        )
+        t = timeit(
+            lambda kk: gen.step_precomputed(kk, params, mets, keep, n, state),
+            key,
+        )
+        emit(f"SMC generation 10M particles, keep 500k (sim excluded, "
+             f"weight_precision={prec}), {ndev} chip(s)", t,
+             particles_per_sec=round(n / t))
+        t = timeit(lambda kk: gen.step(kk, params, seeds, keep, n, state),
+                   key)
+        emit(f"SMC generation 10M particles, keep 500k (sim included, "
+             f"weight_precision={prec}), {ndev} chip(s)", t,
+             particles_per_sec=round(n / t))
 
 
 if __name__ == "__main__":
