@@ -61,8 +61,8 @@ def main():
         f"backend={backend} device={dev.device_kind}",
         "",
         "| shape (N x M x P) | max abs diff | max rel diff | pallas ms | "
-        "xla ms | speedup |",
-        "|---|---|---|---|---|---|",
+        "xla ms | speedup | split-bf16 max abs |",
+        "|---|---|---|---|---|---|---|",
     ]
 
     from abcsmc_tpu.ops.pallas_kernels import mixture_logsumexp
@@ -91,6 +91,15 @@ def main():
 
         got = np.asarray(pallas_fn())
         want = np.asarray(xla_fn())
+        # the split-bf16 production default (ShardedGeneration
+        # weight_precision="high") must hold ~2e-4 nats on hardware too
+        got_high = np.asarray(
+            mixture_logsumexp(a, b, lw, precision="high") + log_norm
+        )
+        high_diff = float(np.max(np.abs(got_high - want)))
+        assert high_diff < 2e-3, (
+            f"split-bf16 kernel drift at {n}x{m}x{p}: {high_diff}"
+        )
         abs_diff = float(np.max(np.abs(got - want)))
         # log-densities cross zero, so a raw relative error blows up on the
         # handful of values near 0; floor the denominator at 1 (i.e. report
@@ -103,7 +112,7 @@ def main():
         lines.append(
             f"| {n} x {m} x {p} | {abs_diff:.3e} | {rel_diff:.3e} | "
             f"{t_pallas * 1e3:.2f} | {t_xla * 1e3:.2f} | "
-            f"{t_xla / t_pallas:.2f}x |"
+            f"{t_xla / t_pallas:.2f}x | {high_diff:.3e} |"
         )
         print(lines[-1], flush=True)
         assert rel_diff < 1e-3, (
