@@ -39,6 +39,11 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    gsl_ran_discrete) or "systematic" (single-offset
                    stratified resampling - strictly lower variance;
                    Kitagawa 1996)
+  ``weight_precision``  MXU dot precision of the device weight kernel:
+                   "high" (default: 3-pass split-bf16, 2.3e-4 nats vs full
+                   f32, 1.9x faster at 500k survivors), "highest" (full
+                   f32), or "default" (single bf16 pass, ~4e-2 nats); see
+                   docs/DESIGN.md "Where the rooflines are"
 """
 
 from __future__ import annotations
@@ -159,6 +164,7 @@ class SmcConfig:
     nrmse_tolerance: float = 0.0
     pls_optimal_method: str = "vdv"
     resample_method: str = "multinomial"
+    weight_precision: str = "high"
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -513,6 +519,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         nrmse_tolerance=float(par.get("nrmse_tolerance", 0.0)),
         pls_optimal_method=str(par.get("pls_optimal_method", "vdv")),
         resample_method=_parse_resample_method(par),
+        weight_precision=_parse_weight_precision(par),
         projection_mode=projection,
         raw=par,
     )
@@ -527,3 +534,14 @@ def _parse_resample_method(par: dict) -> str:
             code=1,
         )
     return method
+
+
+def _parse_weight_precision(par: dict) -> str:
+    prec = str(par.get("weight_precision", "high"))
+    if prec not in ("high", "highest", "default"):
+        raise ConfigError(
+            f"weight_precision must be 'high', 'highest' or 'default', "
+            f"got {prec!r}",
+            code=1,
+        )
+    return prec

@@ -596,6 +596,7 @@ class AbcSmc:
             pls_optimal_method=cfg.pls_optimal_method,
             resample_method=cfg.resample_method,
             box_cox=cfg.box_cox,
+            weight_precision=cfg.weight_precision,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 
