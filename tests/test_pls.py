@@ -170,6 +170,39 @@ def test_cv_lso_selects_sensible_components():
     assert np.all(best >= 1) and np.all(best <= 6)
 
 
+def test_vdv_sign_stream_statistics():
+    """The counter-based rademacher stream (pls.vdv_signs) must behave like
+    iid fair signs: balanced, uncorrelated across permutations and across
+    rows, and invariant to how the row set is partitioned (layout freedom -
+    the property the sharded path relies on)."""
+    import jax
+
+    seed = pls.vdv_seed(jax.random.PRNGKey(3))
+    n_perm, n_rows = 512, 4096
+    s = np.asarray(pls.vdv_signs(seed, n_perm, jnp.arange(n_rows),
+                                 jnp.float64))
+    assert set(np.unique(s)) == {-1.0, 1.0}
+    # balance: mean of n_perm*n_rows fair signs ~ N(0, 1/sqrt(nm))
+    assert abs(s.mean()) < 5.0 / np.sqrt(s.size)
+    # per-permutation and per-row balance (6 sigma)
+    assert np.abs(s.mean(axis=1)).max() < 6.0 / np.sqrt(n_rows)
+    assert np.abs(s.mean(axis=0)).max() < 6.0 / np.sqrt(n_perm)
+    # adjacent-permutation and adjacent-row correlations vanish
+    corr_p = np.mean(s[:-1] * s[1:])
+    corr_r = np.mean(s[:, :-1] * s[:, 1:])
+    assert abs(corr_p) < 6.0 / np.sqrt(s.size)
+    assert abs(corr_r) < 6.0 / np.sqrt(s.size)
+    # layout invariance: computing a row subset directly equals slicing
+    sub = np.asarray(pls.vdv_signs(seed, n_perm,
+                                   jnp.arange(100, 200), jnp.float64))
+    np.testing.assert_array_equal(sub, s[:, 100:200])
+    # a different seed decorrelates the stream
+    seed2 = pls.vdv_seed(jax.random.PRNGKey(4))
+    s2 = np.asarray(pls.vdv_signs(seed2, n_perm, jnp.arange(n_rows),
+                                  jnp.float64))
+    assert abs(np.mean(s * s2)) < 6.0 / np.sqrt(s.size)
+
+
 def test_van_der_voet_component_selection():
     """vdv selection: parsimonious counts whose held-out errors are not
     significantly worse than the PRESS-minimal count's."""
