@@ -623,6 +623,106 @@ class ShardedGeneration:
 
         return step_fn
 
+    # ------------------------------------------------------------------ fused run
+    def run_scan(self, key, n: int, keep: int, gens: int):
+        """ALL generations as ONE jitted program: generation 0 inline, the
+        remaining ``gens - 1`` generations as a ``lax.scan`` over the fused
+        step. Removes the per-generation host dispatch (~30 ms each on a
+        tunneled backend - the dominant cost of long chains at moderate N).
+
+        Constant shapes only (one ``n``, one ``keep`` - the scan carry must
+        be uniform); the reference's quick-start runs 30 such generations
+        (examples/reference.json). The key-split chain replicates
+        :meth:`run`, so results match the sequential path exactly.
+
+        Returns ``(result, history)``: ``result`` is the last generation's
+        :class:`GenerationResult` (its ``next_*`` buffers are the unused
+        proposal), ``history`` is a pytree of per-generation stacked
+        survivor data ``(survivor_idx [G,K], survivor_params [G,K,P],
+        survivor_metrics [G,K,M], weights [G,K], doubled_variance [G,P],
+        ncomp_used [G])``.
+        """
+        assert gens >= 1
+        n_pad = self._padded(n)
+        cache_key = ("scan", n_pad, n, keep, gens)
+        fn = self._step_cache.get(cache_key)
+        if fn is None:
+            # traced-through step programs (jit-of-jit inlines)
+            first_fn = self._build_step(
+                n_pad, keep, n, first=True, include_sim=True, n_true=n
+            )
+            later_fn = self._build_step(
+                n_pad, keep, n, first=False, include_sim=True, n_true=n
+            )
+            p = self.par_set.npar
+
+            def whole(key):
+                # replicate run()'s split chain exactly
+                key, k0 = jax.random.split(key)
+                kts = []
+                for _ in range(gens):
+                    key, kt = jax.random.split(key)
+                    kts.append(kt)
+                params, seeds = self.init_population(k0, n)
+                dummy = (
+                    jnp.zeros((1, p), self.dtype),
+                    jnp.ones((1,), self.dtype),
+                    jnp.ones((p,), self.dtype),
+                )
+                res0 = first_fn(kts[0], params, seeds, *dummy)
+
+                def ys_of(res):
+                    return (
+                        res.survivor_idx, res.survivor_params,
+                        res.survivor_metrics, res.weights,
+                        res.doubled_variance, res.ncomp_used,
+                    )
+
+                def body(carry, kt):
+                    params, seeds, prev = carry
+                    res = later_fn(kt, params, seeds, *prev)
+                    prev2 = (
+                        res.survivor_params, res.weights,
+                        res.doubled_variance,
+                    )
+                    # ys are K-sized only - stacking full populations over
+                    # generations would cost gens * N * M of HBM
+                    return (res.next_params, res.next_seeds, prev2), ys_of(
+                        res
+                    )
+
+                if gens == 1:
+                    history = jax.tree_util.tree_map(
+                        lambda x: x[None], ys_of(res0)
+                    )
+                    return res0, history
+                carry0 = (
+                    res0.next_params, res0.next_seeds,
+                    (res0.survivor_params, res0.weights,
+                     res0.doubled_variance),
+                )
+                parts = [
+                    jax.tree_util.tree_map(lambda x: x[None], ys_of(res0))
+                ]
+                if gens > 2:
+                    carry0, ys_mid = jax.lax.scan(
+                        body, carry0, jnp.stack(kts[1:-1])
+                    )
+                    parts.append(ys_mid)
+                params_l, seeds_l, prev_l = carry0
+                last = later_fn(kts[-1], params_l, seeds_l, *prev_l)
+                parts.append(
+                    jax.tree_util.tree_map(lambda x: x[None], ys_of(last))
+                )
+                history = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *parts
+                )
+                return last, history
+
+            fn = jax.jit(whole)
+            self._step_cache[cache_key] = fn
+        return fn(key)
+
     # ------------------------------------------------------------------ full run
     def run(self, key, set_sizes: list[int], keep_sizes: list[int]):
         """Convenience: run all generations on-device; returns the final

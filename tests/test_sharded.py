@@ -461,6 +461,48 @@ def test_sharded_vdv_exactness_oracle():
     assert ncomps["8dev"] == host_ncomp
 
 
+def test_run_scan_matches_sequential_run():
+    """run_scan (all generations inside ONE jitted lax.scan program) must
+    reproduce the sequential step-by-step run() exactly - same key chain,
+    same math, no per-generation dispatch."""
+    gen = make_gen(dtype=jnp.float64)
+    n, keep, gens = 64, 16, 4
+    key = jax.random.PRNGKey(11)
+
+    res_seq, hist_seq = gen.run(key, [n] * gens, [keep] * gens)
+    res_scan, hist_scan = gen.run_scan(key, n, keep, gens)
+
+    np.testing.assert_array_equal(
+        np.asarray(res_seq.survivor_idx), np.asarray(res_scan.survivor_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_seq.weights), np.asarray(res_scan.weights),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_seq.doubled_variance),
+        np.asarray(res_scan.doubled_variance), rtol=1e-12,
+    )
+    # history: per-generation survivor tuples line up with the sequential
+    # states (run()'s history stores (survivor_params, weights, dv))
+    (s_idx, s_par, s_met, s_w, s_dv, s_ncomp) = hist_scan
+    assert s_idx.shape == (gens, keep)
+    assert s_par.shape == (gens, keep, 2)
+    assert s_met.shape == (gens, keep, 2)
+    for t in range(gens):
+        np.testing.assert_allclose(
+            np.asarray(hist_seq[t][0]), np.asarray(s_par[t]), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(hist_seq[t][1]), np.asarray(s_w[t]), rtol=1e-12
+        )
+    # single- and two-generation edges compile and agree with themselves
+    r1, h1 = gen.run_scan(key, n, keep, 1)
+    assert h1[0].shape == (1, keep)
+    r2, h2 = gen.run_scan(key, n, keep, 2)
+    assert h2[0].shape == (2, keep)
+
+
 def test_sharded_box_cox_matches_host():
     """VERDICT r2 item #6: the fused device Box-Cox stage (global-min shift
     via pmin, per-column lambda by |skewness| over the fixed grid via
