@@ -627,8 +627,14 @@ class ShardedGeneration:
     def run_scan(self, key, n: int, keep: int, gens: int):
         """ALL generations as ONE jitted program: generation 0 inline, the
         remaining ``gens - 1`` generations as a ``lax.scan`` over the fused
-        step. Removes the per-generation host dispatch (~30 ms each on a
-        tunneled backend - the dominant cost of long chains at moderate N).
+        step.
+
+        Measured on the tunneled v5e: 30 x 100k generations = 0.351 s vs
+        0.358 s for the sequential :meth:`run` loop - back-to-back async
+        dispatches already pipeline, so the win is NOT wall-clock on a
+        normal loop; use run_scan when the whole chain must be a single
+        XLA program (embedding SMC inside a larger jitted computation,
+        serializing one executable, or backends that serialize dispatches).
 
         Constant shapes only (one ``n``, one ``keep`` - the scan carry must
         be uniform); the reference's quick-start runs 30 such generations
