@@ -108,9 +108,12 @@ def optimize_box_cox(x, lambda_min=-5.0, lambda_max=5.0, step=0.1):
         return skewness(transformed)
 
     skews = jax.vmap(skew_for)(lambdas)
-    # reference keeps the *first* lambda attaining the min |skew| (strict <)
-    best = jnp.argmin(jnp.abs(skews))
-    return lambdas[best]
+    # reference keeps the *first* lambda attaining the min |skew| (strict <).
+    # Extreme lambdas can overflow the moments to inf/NaN (e.g. x^-5 of a
+    # near-zero shifted value); argmin treats NaN as minimal, so disqualify
+    # non-finite skews explicitly
+    askew = jnp.where(jnp.isfinite(skews), jnp.abs(skews), jnp.inf)
+    return lambdas[jnp.argmin(askew)]
 
 
 def doubled_variance(params):

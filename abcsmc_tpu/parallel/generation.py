@@ -292,7 +292,11 @@ class ShardedGeneration:
                 col_min = jax.lax.pmin(jnp.min(vinf, axis=0), AXIS)
                 col_min = jnp.minimum(col_min, obs)
                 shift = jnp.where(col_min <= 0, 1e-6 - col_min, 0.0)
-                v_l = mets_l + shift[None, :]
+                # padding rows are real draws NOT bounded by the valid-row
+                # min; left unclamped, log/pow of their (possibly <= 0)
+                # shifted values would produce NaN, and 0 * NaN = NaN would
+                # poison the masked moment sums
+                v_l = jnp.where(vmask > 0, mets_l + shift[None, :], 1.0)
 
                 def bc(v, lam):
                     lam_safe = jnp.where(lam == 0, 1.0, lam)
@@ -322,7 +326,12 @@ class ShardedGeneration:
                 skew = jnp.where(
                     bvar == 0, 0.0, bthird / jnp.power(bvar, 1.5)
                 )
-                lam_c = lam_grid[jnp.argmin(jnp.abs(skew), axis=0)]  # [M]
+                # extreme lambdas can overflow the f32 moments to inf/NaN;
+                # argmin treats NaN as minimal, so disqualify them explicitly
+                askew = jnp.where(
+                    jnp.isfinite(skew), jnp.abs(skew), jnp.inf
+                )
+                lam_c = lam_grid[jnp.argmin(askew, axis=0)]          # [M]
                 rank_mets_l = bc(v_l, lam_c[None, :])
                 obs_eff = bc(obs + shift, lam_c)
             else:

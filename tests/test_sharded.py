@@ -557,6 +557,39 @@ def test_sharded_box_cox_matches_host():
     )
 
 
+def test_sharded_box_cox_padding_rows_cannot_poison():
+    """Padding rows are real draws NOT bounded by the valid rows' metric
+    minimum; if their shifted values reach log/pow unclamped, 0 * NaN = NaN
+    poisons every masked Box-Cox moment psum. Regression: an adversarial
+    padded buffer whose tail metrics are negative while every valid metric
+    is positive (so no shift is applied) must still produce finite
+    distances and weights."""
+    from abcsmc_tpu.models.simulators import DeviceSimulator
+
+    gen = make_gen(box_cox=True, pls_optimal_method="tolerance",
+                   dtype=jnp.float64)
+    gen.simulator = DeviceSimulator(
+        lambda p, key: jnp.stack([p[0], p[0] * 2.0]), nmet=2
+    )
+    gen.obs = np.array([1.5, 3.0])
+
+    n, n_pad, keep = 300, 304, 30
+    rng = np.random.default_rng(5)
+    params = np.empty((n_pad, 2))
+    params[:n] = rng.uniform(1.0, 2.0, (n, 2))   # metrics in [1, 4]: no shift
+    params[n:] = -3.0                            # tail metrics negative
+    seeds = jnp.asarray(rng.integers(0, 2**31, n_pad).astype(np.uint32))
+    res = gen.step(
+        jax.random.PRNGKey(0), jnp.asarray(params), seeds, keep, 0,
+        None, n_valid=n,
+    )
+    d = np.asarray(res.distances)
+    assert np.all(np.isfinite(d[:n]))
+    assert np.all(np.isinf(d[n:]))
+    assert np.all(np.isfinite(np.asarray(res.weights)))
+    assert np.all(np.asarray(res.survivor_idx) < n)
+
+
 def test_sharded_systematic_resampling():
     """resample_method="systematic" on the mesh: one global set of strata
     tiles the whole next population across shards (the offset is shared, the
