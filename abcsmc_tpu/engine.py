@@ -719,6 +719,12 @@ class AbcSmc:
             self._doubled_variance.append(
                 np.asarray(res.doubled_variance, np.float64)
             )
+            # selection observability (ncomp collapsing to 1 on structured
+            # data is a silent statistical failure; see VERDICT r2 #1)
+            self.timings.append({
+                "op": "device_generation", "set": t,
+                "ncomp_used": int(np.asarray(res.ncomp_used)),
+            })
             reports.filtering_report(
                 self, t, pars_np[surv], mets_np[surv]
             )
