@@ -482,6 +482,91 @@ def make_seir_campaign_simulator(
     return DeviceSimulator(fn, nmet=8)
 
 
+def make_ricker_simulator(
+    t_steps: int = 100, n0: float = 1.0, burn_in: int = 50,
+) -> DeviceSimulator:
+    """Ricker chaotic population map with Poisson observations - the
+    canonical intractable-likelihood ABC benchmark (Wood 2010, Nature 466).
+
+        N_{t+1} = r * N_t * exp(-N_t + sigma * e_t),  y_t ~ Poisson(phi N_t)
+
+    params = (log_r, sigma, phi); metrics = 6 summary statistics of the
+    observed series (mean, sd, autocorrelations at lags 1 and 2, #zeros,
+    max). lax.scan over time; the Poisson draw uses the normal
+    approximation above 10 and inverse-CDF below (static shapes, VPU)."""
+
+    def fn(params, key):
+        dtype = params.dtype
+        log_r = jnp.clip(params[0], 0.0, 6.0)
+        sigma = jnp.clip(jnp.abs(params[1]), 1e-3, 2.0)
+        phi = jnp.clip(jnp.abs(params[2]), 1e-2, 50.0)
+
+        def poisson(k, lam):
+            # normal approx above 10, tabulated inverse-CDF below - both
+            # static-shaped; the crossover error is irrelevant to summary
+            # statistics at ABC tolerance
+            u = jax.random.uniform(k, (), dtype)
+            grid = jnp.arange(24, dtype=dtype)
+            lam_s = jnp.minimum(lam, 20.0)
+            logpmf = grid * jnp.log(jnp.maximum(lam_s, 1e-9)) - lam_s - (
+                jax.lax.lgamma(grid + 1.0)
+            )
+            cdf = jnp.cumsum(jnp.exp(logpmf))
+            small = jnp.argmax(cdf >= u).astype(dtype)
+            g = jax.random.normal(jax.random.fold_in(k, 1), (), dtype)
+            large = jnp.round(lam + jnp.sqrt(lam) * g)
+            return jnp.where(lam > 10.0, jnp.maximum(large, 0.0), small)
+
+        def step(n, k):
+            k_e, k_y = jax.random.split(k)
+            e = jax.random.normal(k_e, (), dtype)
+            n2 = jnp.exp(log_r) * n * jnp.exp(-n + sigma * e)
+            n2 = jnp.clip(n2, 1e-9, 1e6)
+            y = poisson(k_y, phi * n2)
+            return n2, y
+
+        keys = jax.random.split(key, t_steps + burn_in)
+        _, ys = jax.lax.scan(step, jnp.asarray(n0, dtype), keys)
+        y = ys[burn_in:]
+        m = jnp.mean(y)
+        sd = jnp.sqrt(jnp.maximum(jnp.var(y, ddof=1), 0.0))
+        yc = y - m
+        denom = jnp.maximum(jnp.sum(yc * yc), 1e-9)
+        ac1 = jnp.sum(yc[1:] * yc[:-1]) / denom
+        ac2 = jnp.sum(yc[2:] * yc[:-2]) / denom
+        zeros = jnp.sum((y == 0).astype(dtype))
+        return jnp.stack([m, sd, ac1, ac2, zeros, jnp.max(y)])
+
+    return DeviceSimulator(fn, nmet=6)
+
+
+def make_gk_simulator(n_obs: int = 500) -> DeviceSimulator:
+    """g-and-k quantile distribution - the other canonical ABC benchmark
+    (Rayner & MacGillivray 2002; Fearnhead & Prangle 2012): defined by its
+    quantile function, so the likelihood is intractable but sampling is an
+    inverse-CDF transform of normals (perfect for the VPU).
+
+        Q(z) = A + B (1 + 0.8 tanh(g z / 2)) (1 + z^2)^k z
+
+    params = (A, B, g, k); metrics = 8 octile-based summary statistics
+    (the standard robust choice: octiles 1..7 plus the interquartile
+    range)."""
+
+    def fn(params, key):
+        dtype = params.dtype
+        A, B = params[0], jnp.maximum(params[1], 1e-3)
+        g, k = params[2], jnp.maximum(params[3], -0.4)
+        z = jax.random.normal(key, (n_obs,), dtype)
+        x = A + B * (1.0 + 0.8 * jnp.tanh(g * z / 2.0)) * jnp.power(
+            1.0 + z * z, k
+        ) * z
+        qs = jnp.quantile(x, jnp.arange(1, 8, dtype=dtype) / 8.0)
+        iqr = qs[5] - qs[1]
+        return jnp.concatenate([qs, iqr[None]])
+
+    return DeviceSimulator(fn, nmet=8)
+
+
 #: Registry for the config-file "simulator" key (an extension over the
 #: reference, which only binds executables / shared objects from config).
 #: Factories receive (npar, nmet) from the parsed config.
@@ -492,6 +577,8 @@ BUILTIN_SIMULATORS: dict[str, Callable[[int, int], DeviceSimulator]] = {
     "linear_gaussian": make_linear_gaussian_simulator,
     "lotka_volterra": lambda npar, nmet: make_lotka_volterra_simulator(),
     "seir_campaign": lambda npar, nmet: make_seir_campaign_simulator(),
+    "ricker": lambda npar, nmet: make_ricker_simulator(),
+    "gk": lambda npar, nmet: make_gk_simulator(),
 }
 
 

@@ -68,3 +68,82 @@ def test_seir_campaign_metrics():
     assert mets[0, 0] <= mets[1, 0] * 1.05
     # metric sanity: final size >= peak prevalence
     assert mets[0, 0] >= mets[0, 1]
+
+
+def test_ricker_metrics_and_regimes():
+    """Ricker map (Wood 2010): summary statistics are finite, and the
+    chaotic high-r regime produces more volatile series than the stable
+    low-r regime."""
+    from abcsmc_tpu.models.simulators import make_ricker_simulator
+
+    sim = make_ricker_simulator()
+    # (log_r, sigma, phi): stable vs chaotic growth
+    params = np.array([[1.0, 0.3, 10.0], [3.8, 0.3, 10.0]])
+    mets = sim.run_batch(params, np.array([5, 5]), np.array([0, 1]))
+    assert mets.shape == (2, 6)
+    assert np.all(np.isfinite(mets))
+    assert mets[1, 1] > mets[0, 1]          # chaotic regime: larger sd
+    assert mets[1, 4] >= mets[0, 4]         # ... and at least as many zeros
+    # deterministic replay
+    again = sim.run_batch(params, np.array([5, 5]), np.array([0, 1]))
+    np.testing.assert_array_equal(mets, again)
+
+
+def test_gk_fit_recovers_location_scale():
+    """g-and-k (Rayner & MacGillivray 2002): ABC-SMC recovers A and B from
+    octile summaries of one observed sample."""
+    from abcsmc_tpu.models.simulators import make_gk_simulator
+
+    sim = make_gk_simulator()
+    truth = np.array([[3.0, 1.0, 2.0, 0.5]])
+    obs = sim.run_batch(truth, np.array([123]), np.array([0]))[0]
+    cfg = {
+        "smc_iterations": 4,
+        "num_samples": 512,
+        "predictive_prior_fraction": 0.1,
+        "parameters": [
+            {"name": "A", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": 0.0, "par2": 10.0},
+            {"name": "B", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": 0.1, "par2": 5.0},
+            {"name": "g", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": 0.0, "par2": 5.0},
+            {"name": "k", "dist_type": "UNIFORM", "num_type": "FLOAT",
+             "par1": -0.2, "par2": 2.0},
+        ],
+        "metrics": [
+            {"name": f"q{j}", "num_type": "FLOAT", "value": float(obs[j])}
+            for j in range(8)
+        ],
+    }
+    abc = AbcSmc(cfg, simulator=sim, storage=MemoryStorage())
+    abc.run_device(seed=8)
+    pars, w = abc.posterior()
+    w = w / w.sum()
+    a_hat = float((pars[:, 0] * w).sum())
+    b_hat = float((pars[:, 1] * w).sum())
+    assert abs(a_hat - 3.0) < 1.0, a_hat
+    assert abs(b_hat - 1.0) < 0.8, b_hat
+
+
+def test_new_builtins_resolve_from_config():
+    from abcsmc_tpu.config import parse_config
+    from abcsmc_tpu.models.simulators import resolve_simulator
+
+    for name, nmet in (("ricker", 6), ("gk", 8)):
+        cfg = parse_config({
+            "smc_iterations": 1, "num_samples": 8,
+            "predictive_prior_size": 2,
+            "simulator": name,
+            "parameters": [
+                {"name": f"p{i}", "dist_type": "UNIFORM",
+                 "num_type": "FLOAT", "par1": 0.0, "par2": 1.0}
+                for i in range(3 if name == "ricker" else 4)
+            ],
+            "metrics": [
+                {"name": f"m{j}", "num_type": "FLOAT", "value": 0.1}
+                for j in range(nmet)
+            ],
+        })
+        sim = resolve_simulator(cfg)
+        assert sim is not None and sim.nmet == nmet
