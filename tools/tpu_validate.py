@@ -147,7 +147,13 @@ def main():
         np.zeros(nmet), mesh=particle_mesh(), dtype=jnp.float32,
     )
     params = jnp.asarray(rng.uniform(0, 1, (n, npar)), jnp.float32)
-    mets = jnp.asarray(rng.normal(size=(n, nmet)), jnp.float32)
+    # metrics correlated with params (not iid noise): component selection
+    # has real structure to find, so ncomp_used > 1 is the expected witness
+    mix = rng.normal(size=(npar, nmet)).astype(np.float32)
+    mets = jnp.asarray(
+        np.asarray(params) @ mix
+        + 0.3 * rng.normal(size=(n, nmet)).astype(np.float32)
+    )
     state = (
         jnp.asarray(rng.uniform(0.3, 0.7, (keep, npar)), jnp.float32),
         jnp.full((keep,), 1.0 / keep, jnp.float32),
@@ -164,9 +170,7 @@ def main():
     assert np.all(np.isfinite(w)) and w.shape == (keep,)
     # selection observability (VERDICT r2 #7): a silently degenerate vdv
     # (ncomp collapsing to 1 at the cap-binding 1M shape) must be visible in
-    # the artifact. NB these metrics are iid noise given params, so the
-    # PLS structure is weak here - the bench's structured-metric run is the
-    # ncomp > 1 witness; this line just records the value.
+    # the artifact - with structured metrics, ncomp_used > 1 is expected
     lines += [
         "",
         f"Fused generation (1M x 6 x 13, keep 50k, sim excluded, vdv): "
