@@ -33,21 +33,16 @@ import jax as _jax
 # (e.g. for heavy neural device-simulators) via ABCSMC_MATMUL_PRECISION.
 _prec = _os.environ.get("ABCSMC_MATMUL_PRECISION", "highest")
 if _prec and _prec != "unset":
-    # validate before touching global config: a garbage value must not make
-    # `import abcsmc_tpu` raise from inside jax.config.update
-    _valid = {
-        "default", "high", "highest", "bfloat16", "tensorfloat32",
-        "float32", "bfloat16_3x",
-    }
-    if _prec in _valid:
+    # let jax itself validate the value (the accepted set varies by jax
+    # version); a garbage value must not make `import abcsmc_tpu` raise
+    try:
         _jax.config.update("jax_default_matmul_precision", _prec)
-    else:
+    except Exception as _e:
         import warnings as _warnings
 
         _warnings.warn(
-            f"ABCSMC_MATMUL_PRECISION={_prec!r} is not a JAX matmul "
-            f"precision (one of {sorted(_valid)} or 'unset'); leaving the "
-            "JAX default in place",
+            f"ABCSMC_MATMUL_PRECISION={_prec!r} rejected by jax ({_e}); "
+            "leaving the JAX default matmul precision in place",
             RuntimeWarning,
         )
 

@@ -98,10 +98,14 @@ def build_shim() -> str:
     """Compile (or reuse) the reference-ABI shim; returns the .so path.
     Cached by source hash, so a source change never reuses a stale binary."""
     tag = hashlib.sha256(_SHIM_SOURCE.encode()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"libabcrefshim-{tag}.so")
+    cache = _cache_dir()
+    so_path = os.path.join(cache, f"libabcrefshim-{tag}.so")
     if os.path.exists(so_path):
         return so_path
-    with tempfile.TemporaryDirectory() as td:
+    # build INSIDE the cache dir: the final os.replace must be
+    # same-filesystem (rename across mounts - e.g. tmpfs /tmp vs $HOME -
+    # fails with EXDEV) and atomic so concurrent builds race safely
+    with tempfile.TemporaryDirectory(dir=cache) as td:
         src = os.path.join(td, "ref_shim.cpp")
         with open(src, "w") as f:
             f.write(_SHIM_SOURCE)
@@ -123,7 +127,7 @@ def build_shim() -> str:
                 f"reference-ABI shim failed to compile: {e.stderr}",
                 code=-211,
             )
-        os.replace(tmp_out, so_path)  # atomic: concurrent builds race safely
+        os.replace(tmp_out, so_path)
     return so_path
 
 
@@ -161,7 +165,7 @@ class ReferenceShim:
             self.target.encode(), pars, len(row), int(seed), int(serial),
             mets, nmet,
         )
-        if rc > 1000:
+        if rc >= 1000:  # 1000 + out.size(); 1000 itself = empty vector
             # metric-count mismatch aborts in the reference too
             # (src/AbcSmc.cpp:683-687, exit -211)
             raise SimulatorError(

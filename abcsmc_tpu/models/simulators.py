@@ -512,7 +512,11 @@ def make_ricker_simulator(
                 jax.lax.lgamma(grid + 1.0)
             )
             cdf = jnp.cumsum(jnp.exp(logpmf))
-            small = jnp.argmax(cdf >= u).astype(dtype)
+            # right tail beyond the 24-point grid: argmax over all-False
+            # would return 0, turning the LARGEST draws into exact zeros
+            # and biasing the '#zeros' summary statistic; clamp to grid max
+            idx = jnp.argmax(cdf >= u).astype(dtype)
+            small = jnp.where(u > cdf[-1], jnp.asarray(23.0, dtype), idx)
             g = jax.random.normal(jax.random.fold_in(k, 1), (), dtype)
             large = jnp.round(lam + jnp.sqrt(lam) * g)
             return jnp.where(lam > 10.0, jnp.maximum(large, 0.0), small)

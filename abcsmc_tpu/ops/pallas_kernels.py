@@ -7,9 +7,11 @@ previous generation's survivors through VMEM, compute the scaled-distance
 logits as one MXU matmul, and maintain an online logsumexp in scratch - the
 N x M logit matrix never exists in HBM.
 
-The kernel is VPU-bound (the matmul's K dim is ~128; the streaming
-exp/max/sum over the [BI, BJ] logit tile dominates), so the design squeezes
-VPU ops per logit:
+Per logit the work is a 128-lane MXU dot (the feature axis is lane-padded)
+plus streaming exp/max/sum on the VPU; measured on v5e the MXU share
+dominates above ~100k mixtures at full-f32 ("highest" = 6 bf16 passes) and
+the VPU share dominates below (docs/DESIGN.md "Where the rooflines are").
+The design therefore attacks both:
 
 - ALL affine terms ride the MXU via feature augmentation: the inputs are
   extended with two columns so that
@@ -185,7 +187,11 @@ def mixture_logsumexp(
     """
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
-    log_w = jnp.asarray(log_w, jnp.float32)
+    # a TRUE -inf log-weight (a zero mixture weight, e.g. one dominating
+    # survivor underflowing the rest) must be clamped to the finite sentinel
+    # BEFORE augmentation: the split-bf16 path computes lo = x - hi, and
+    # (-inf) - (-inf) = NaN would spread through one MXU pass to every logit
+    log_w = jnp.maximum(jnp.asarray(log_w, jnp.float32), NEG_INF)
     n, p = a.shape
     m = b.shape[0]
 

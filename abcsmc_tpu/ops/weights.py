@@ -75,8 +75,9 @@ def log_kernel_mixture_density(
     through a lax.scan with an online logsumexp; "auto" picks pallas on TPU
     f32 and xla elsewhere (f64 parity runs stay on xla).
 
-    ``precision``: MXU dot precision of the pallas path (the kernel is
-    MXU-bound at K >= 200k; see docs/DESIGN.md "Weight kernel").
+    ``precision``: MXU dot precision of the pallas path (at full f32 the
+    MXU passes dominate above ~100k mixtures; see docs/DESIGN.md "Where
+    the rooflines are").
     """
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")

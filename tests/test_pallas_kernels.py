@@ -97,3 +97,27 @@ def test_mixture_logsumexp_extreme_weights():
         interpret=True,
     ))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_mixture_logsumexp_true_neg_inf_weights():
+    """A TRUE -inf log-weight (an exactly-zero mixture weight, e.g. one
+    dominating survivor underflowing the rest) must not poison the split-
+    bf16 path: (-inf) - (-inf) = NaN in the lo half would spread through an
+    MXU pass to every logit. Regression for the round-3 review finding."""
+    rng = np.random.default_rng(2)
+    n, m, p = 32, 24, 3
+    a = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(m, p)), jnp.float32)
+    lw = np.full(m, np.log(1.0 / 12), np.float32)
+    lw[12:] = -np.inf
+    for prec in ("high", "highest"):
+        got = np.asarray(mixture_logsumexp(
+            a, b, jnp.asarray(lw), block_i=128, block_j=128,
+            interpret=True, precision=prec,
+        ))
+        assert np.all(np.isfinite(got)), prec
+        expect = np.asarray(mixture_logsumexp(
+            a, b[:12], jnp.asarray(lw[:12]), block_i=128, block_j=128,
+            interpret=True, precision=prec,
+        ))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)

@@ -69,6 +69,7 @@ REF_ABI_SRC = r"""
 extern "C" std::vector<double> simulator(std::vector<double> pars,
                                          const unsigned long seed,
                                          const unsigned long serial) {
+    if (pars[0] < 0) return {};  // failure mode: empty metric vector
     // deterministic in (pars, seed): xorshift64 noise
     unsigned long long x = seed ? seed : 88172645463325252ULL;
     x ^= x << 13; x ^= x >> 7; x ^= x << 17;
@@ -108,8 +109,12 @@ def test_reference_abi_shim_run_batch(libref):
 
 def test_reference_abi_shim_metric_count_mismatch(libref):
     sim = SharedLibSimulator(libref, nmet=5)   # mock returns 2 metrics
-    with pytest.raises(SimulatorError):
+    with pytest.raises(SimulatorError, match="wrong number of metrics"):
         sim.run_batch(np.array([[1.0, 2.0]]), np.array([1]), np.array([0]))
+    # an EMPTY metric vector (rc == exactly 1000) is also a count mismatch
+    sim2 = SharedLibSimulator(libref, nmet=2)
+    with pytest.raises(SimulatorError, match="received 0"):
+        sim2.run_batch(np.array([[-1.0, 2.0]]), np.array([1]), np.array([0]))
 
 
 def test_reference_abi_shim_simulate_flow(libref, tmp_path):
