@@ -62,6 +62,13 @@ class ShardedGeneration:
     Parameters are static configuration; per-call shapes (population size N,
     survivor count K, next size N2) are static arguments of the compiled step
     (a handful of distinct shapes per run -> a handful of compilations).
+
+    HBM note for very large N: the PLS score matrix is [N, A] per device
+    (A = min(n_train - 1, nmet) by default). At N = 1e8 x A = 13 that is
+    5.2 GB and exceeds a single v5e's headroom alongside the metric matrix -
+    set ``max_pls_components`` (e.g. 4) or widen the mesh; every O(N) tensor
+    shards over the particle axis. Measured: 100M ranked+weighted in 1.65 s
+    on one chip at A = 4 (docs/BENCH_EXTRA_TPU.md).
     """
 
     def __init__(
