@@ -571,6 +571,77 @@ def make_gk_simulator(n_obs: int = 500) -> DeviceSimulator:
     return DeviceSimulator(fn, nmet=8)
 
 
+def make_mg1_simulator(n_customers: int = 50) -> DeviceSimulator:
+    """M/G/1 queue - the canonical queueing ABC benchmark (Fearnhead &
+    Prangle 2012, JRSS-B): customers arrive with Exp(theta3) inter-arrival
+    times and receive U(theta1, theta2) service; only inter-departure times
+    are observed, making the likelihood intractable.
+
+    The textbook departure recursion ``d_i = s_i + max(a_i, d_{i-1})`` is
+    sequential, but it has a closed scan-free form: with ``S_i = s_1+..+s_i``
+    (and ``S_0 = 0``),
+
+        d_i = S_i + cummax_j<=i (a_j - S_{j-1})
+
+    so the whole trajectory is two cumsums and a cummax - fully vectorized
+    on the VPU, no ``lax.scan``. params = (theta1, theta2, theta3); metrics =
+    octiles 1..7 of the inter-departure times plus their mean (8 total, the
+    standard robust summary choice)."""
+
+    def fn(params, key):
+        dtype = params.dtype
+        lo = jnp.minimum(params[0], params[1])
+        hi = jnp.maximum(params[0], params[1]) + 1e-6
+        rate = jnp.clip(jnp.abs(params[2]), 1e-4, 1e3)
+        k_a, k_s = jax.random.split(key)
+        inter = jax.random.exponential(k_a, (n_customers,), dtype) / rate
+        a = jnp.cumsum(inter)
+        s = jax.random.uniform(
+            k_s, (n_customers,), dtype, minval=lo, maxval=hi
+        )
+        y = jnp.diff(mg1_departure_times(a, s), prepend=jnp.zeros((1,), dtype))
+        qs = jnp.quantile(y, jnp.arange(1, 8, dtype=dtype) / 8.0)
+        return jnp.concatenate([qs, jnp.mean(y)[None]])
+
+    return DeviceSimulator(fn, nmet=8)
+
+
+def mg1_departure_times(a, s):
+    """Scan-free M/G/1 departure times from arrival times ``a`` and service
+    times ``s``: ``d_i = S_i + cummax_j<=i (a_j - S_{j-1})`` where
+    ``S_i = s_1 + .. + s_i`` - algebraically identical to the sequential
+    ``d_i = s_i + max(a_i, d_{i-1})`` recursion (pinned by test)."""
+    S = jnp.cumsum(s)
+    S_prev = S - s  # S_{i-1} with S_0 = 0
+    return S + jax.lax.cummax(a - S_prev, axis=0)
+
+
+def make_ma2_simulator(n_obs: int = 200) -> DeviceSimulator:
+    """MA(2) moving-average process - the standard ABC toy model (Marin,
+    Pudlo, Robert & Ryder 2012, "Approximate Bayesian computational
+    methods"):
+
+        y_t = e_t + theta1 e_{t-1} + theta2 e_{t-2},  e_t ~ N(0, 1)
+
+    identifiable on the invertibility triangle (-2 < theta1 < 2,
+    theta1 + theta2 > -1, theta1 - theta2 < 1). params = (theta1, theta2);
+    metrics = autocovariances at lags 0..2 (the sufficient summary choice
+    in the literature). Pure vectorized shifts - no scan."""
+
+    def fn(params, key):
+        dtype = params.dtype
+        t1, t2 = params[0], params[1]
+        e = jax.random.normal(key, (n_obs + 2,), dtype)
+        y = e[2:] + t1 * e[1:-1] + t2 * e[:-2]
+        n = jnp.asarray(n_obs, dtype)
+        g0 = jnp.sum(y * y) / n
+        g1 = jnp.sum(y[1:] * y[:-1]) / n
+        g2 = jnp.sum(y[2:] * y[:-2]) / n
+        return jnp.stack([g0, g1, g2])
+
+    return DeviceSimulator(fn, nmet=3)
+
+
 #: Registry for the config-file "simulator" key (an extension over the
 #: reference, which only binds executables / shared objects from config).
 #: Factories receive (npar, nmet) from the parsed config.
@@ -583,6 +654,8 @@ BUILTIN_SIMULATORS: dict[str, Callable[[int, int], DeviceSimulator]] = {
     "seir_campaign": lambda npar, nmet: make_seir_campaign_simulator(),
     "ricker": lambda npar, nmet: make_ricker_simulator(),
     "gk": lambda npar, nmet: make_gk_simulator(),
+    "mg1": lambda npar, nmet: make_mg1_simulator(),
+    "ma2": lambda npar, nmet: make_ma2_simulator(),
 }
 
 
