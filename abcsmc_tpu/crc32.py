@@ -12,17 +12,23 @@ stamps for SQLite checkpoint files (see :func:`database_crc`).
 
 from __future__ import annotations
 
+import json
 import os
 import zlib
 
-__all__ = ["full_crc", "partial_crc", "file_crc", "database_crc"]
+__all__ = [
+    "full_crc", "partial_crc", "file_crc", "database_crc", "verify_checkpoint",
+]
 
 _DEFAULT_BUFSIZE = 1 << 20
 
 
 def full_crc(data: bytes | bytearray | memoryview) -> int:
-    """CRC-32 of a whole buffer (CCRC32::FullCRC, CCRC32.h:27-28)."""
-    return zlib.crc32(bytes(data)) & 0xFFFFFFFF
+    """CRC-32 of a whole buffer (CCRC32::FullCRC, CCRC32.h:27-28).
+
+    Passes the buffer straight to zlib (no copy), so memoryviews over large
+    mmapped checkpoints are checksummed zero-copy."""
+    return zlib.crc32(data) & 0xFFFFFFFF
 
 
 def partial_crc(crc: int, data: bytes | bytearray | memoryview) -> int:
@@ -32,7 +38,7 @@ def partial_crc(crc: int, data: bytes | bytearray | memoryview) -> int:
     finalized CRC after every call (start from 0), which chains identically:
     ``partial_crc(partial_crc(0, a), b) == full_crc(a + b)``.
     """
-    return zlib.crc32(bytes(data), crc & 0xFFFFFFFF) & 0xFFFFFFFF
+    return zlib.crc32(data, crc & 0xFFFFFFFF) & 0xFFFFFFFF
 
 
 def file_crc(path: str | os.PathLike, buffer_size: int = _DEFAULT_BUFSIZE) -> int:
@@ -60,3 +66,20 @@ def database_crc(path: str | os.PathLike) -> dict:
         "bytes": st.st_size,
         "mtime": st.st_mtime,
     }
+
+
+def verify_checkpoint(path: str | os.PathLike) -> bool:
+    """Verify a checkpoint against the ``<path>.crc.json`` stamp written by
+    ``AbcSmc.checkpoint``. Returns True iff the stamp exists and both the byte
+    count and CRC-32 match the file's current contents (mtime is informational
+    only — copies legitimately change it)."""
+    stamp_path = os.fspath(path) + ".crc.json"
+    try:
+        with open(stamp_path) as fh:
+            stamp = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    st = os.stat(path)
+    return st.st_size == stamp.get("bytes") and (
+        f"{file_crc(path):08x}" == stamp.get("crc32")
+    )

@@ -10,6 +10,8 @@ as jitted JAX (sharded over a device mesh when one is provided).
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -801,16 +803,37 @@ class AbcSmc:
         """Per-set metric matrices (AbcSmc::get_particle_metrics)."""
         return self._particle_metrics
 
-    def checkpoint(self, path: str):
-        """Write the (in-memory) run store to a reference-schema SQLite file.
-        For SQLite-backed runs the database already *is* the checkpoint."""
-        from abcsmc_tpu.storage.memstore import MemoryStorage
+    def checkpoint(self, path: str, stamp: bool = True) -> dict:
+        """Write the run store to a reference-schema SQLite file and stamp it.
 
+        MemoryStorage runs are snapshotted; SQLite-backed runs are copied via
+        the sqlite3 online-backup API (safe against concurrent writers), or —
+        when ``path`` is the live database itself — left in place (the DB
+        already *is* the checkpoint, §5.4 of the reference's design:
+        /root/reference/src/AbcSmc.cpp:452-479). With ``stamp`` (default), a
+        CRC-32 integrity stamp (``crc32.database_crc``) is written beside the
+        file as ``<path>.crc.json`` so a copy shipped between cluster
+        filesystems can be verified on arrival (``verify_checkpoint``).
+        Returns the stamp dict (empty when ``stamp=False``)."""
         if isinstance(self.storage, MemoryStorage):
             target = SQLiteStorage(path)
             self.storage.snapshot_to(target)
             target.close()
-        return path
+        elif isinstance(self.storage, SQLiteStorage) and (
+            os.path.abspath(path) != os.path.abspath(self.storage.path)
+        ):
+            import sqlite3 as _sq
+
+            with _sq.connect(self.storage.path) as src, _sq.connect(path) as dst:
+                src.backup(dst)
+        if not stamp:
+            return {}
+        from abcsmc_tpu import crc32 as _crc32
+
+        info = _crc32.database_crc(path)
+        with open(path + ".crc.json", "w") as fh:
+            json.dump(info, fh)
+        return info
 
     def ess(self, set_num: int = -1) -> float:
         """Effective sample size of a generation's importance weights,

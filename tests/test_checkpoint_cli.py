@@ -37,7 +37,13 @@ def test_checkpoint_snapshot_roundtrip(tmp_path):
                  storage=MemoryStorage())
     abc.run(seed=2)
     path = str(tmp_path / "ckpt.sqlite")
-    abc.checkpoint(path)
+    stamp = abc.checkpoint(path)
+
+    # the CRC stamp documents the shipped file and verifies round-trip
+    from abcsmc_tpu import crc32
+
+    assert stamp["crc32"] == f"{crc32.file_crc(path):08x}"
+    assert crc32.verify_checkpoint(path) is True
 
     conn = sqlite3.connect(path)
     sets = conn.execute(
@@ -55,6 +61,33 @@ def test_checkpoint_snapshot_roundtrip(tmp_path):
     abc2.process_database(seed=6)
     pars, _ = abc2.posterior()
     assert pars.shape == (10, 2)
+
+
+def test_checkpoint_copies_sqlite_backed_store(tmp_path):
+    """checkpoint(path) on a SQLite-backed run copies the live DB (online
+    backup API) to the new path and stamps it; same path = no-op + stamp."""
+    live = str(tmp_path / "live.sqlite")
+    abc = AbcSmc(cfg(database_filename=live),
+                 simulator=make_dice_simulator(max_dice=30),
+                 storage=SQLiteStorage(live))
+    abc.run(seed=3)
+    copy = str(tmp_path / "shipped.sqlite")
+    stamp = abc.checkpoint(copy)
+
+    import sqlite3 as sq
+
+    rows = sq.connect(copy).execute(
+        "select count(*), sum(status='D') from job"
+    ).fetchone()
+    assert rows == (80, 80)
+    from abcsmc_tpu import crc32
+
+    assert crc32.verify_checkpoint(copy) is True
+    assert stamp["bytes"] > 0
+    # stamping the live DB in place also works
+    stamp2 = abc.checkpoint(live)
+    assert crc32.verify_checkpoint(live) is True
+    assert stamp2["path"] == live
 
 
 def test_ess_diagnostic():

@@ -6,9 +6,16 @@ with bit-reflection, so its outputs are the standard CRC-32/ISO-HDLC values —
 checkable against published vectors without running the C++.
 """
 
+import json
 import os
 
-from abcsmc_tpu.crc32 import database_crc, file_crc, full_crc, partial_crc
+from abcsmc_tpu.crc32 import (
+    database_crc,
+    file_crc,
+    full_crc,
+    partial_crc,
+    verify_checkpoint,
+)
 
 
 def test_standard_check_vector():
@@ -45,3 +52,27 @@ def test_database_crc_stamp(tmp_path):
     stamp = database_crc(p)
     assert stamp["bytes"] == 116
     assert stamp["crc32"] == f"{full_crc(p.read_bytes()):08x}"
+
+
+def test_full_crc_accepts_memoryview_zero_copy():
+    data = bytearray(os.urandom(4096))
+    assert full_crc(memoryview(data)) == full_crc(bytes(data))
+    assert partial_crc(0, memoryview(data)) == full_crc(bytes(data))
+
+
+def test_verify_checkpoint_detects_corruption(tmp_path):
+    p = tmp_path / "ckpt.sqlite"
+    p.write_bytes(os.urandom(2048))
+    with open(f"{p}.crc.json", "w") as fh:
+        json.dump(database_crc(p), fh)
+    assert verify_checkpoint(p) is True
+    # mtime-only changes (a copy) must still verify
+    os.utime(p, (0, 0))
+    assert verify_checkpoint(p) is True
+    # a flipped byte must not
+    blob = bytearray(p.read_bytes())
+    blob[100] ^= 0xFF
+    p.write_bytes(blob)
+    assert verify_checkpoint(p) is False
+    # and a missing stamp is a clean False, not an exception
+    assert verify_checkpoint(tmp_path / "nope.sqlite") is False
