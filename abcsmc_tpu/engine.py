@@ -490,6 +490,16 @@ class AbcSmc:
         mesh). An existing store resumes from wherever it stopped - mid-set
         included - matching the reference's crash-anywhere resume
         (src/AbcSmc.cpp:452-479, set-completeness gating at :571-592).
+
+        Fresh runs with uniform (n, keep) across sets and no NRMSE early
+        stop execute the WHOLE chain as one jitted program (run_scan with
+        full history) when the stacked-population HBM bill is modest — on
+        high-dispatch-latency backends (remote/tunneled chips) this removes
+        the per-set launch cost entirely. The key-split chain is identical
+        to the sequential loop (bit-equal on CPU, pinned by test); on TPU
+        the differently-fused program may differ in last-ulp f32 rounding,
+        which can flip near-threshold vdv component counts — statistically
+        equivalent, and each path is individually deterministic.
         Projection sweeps (PSEUDO/POSTERIOR) run through the sharded sweep
         path. Falls back to :meth:`run` only for host-only simulators.
         """
@@ -603,6 +613,27 @@ class AbcSmc:
         )
 
         key = self._key(seed)
+
+        # ---- fresh constant-shape runs: the whole chain as ONE program ----
+        # Per-set dispatch costs ~0.2 s each on a tunneled backend (the RPC,
+        # not compute, dominates at small populations); run_scan collapses
+        # them into a single launch. Only for fresh runs (no resume state),
+        # uniform (n, keep) across sets, no NRMSE early stop, and a bounded
+        # full-history HBM bill (the stacked [G, N, P+M+1] population copy).
+        sizes = {cfg.smc_size_at(t) for t in range(cfg.num_smc_sets)}
+        keeps = {cfg.pred_prior_size_at(t) for t in range(cfg.num_smc_sets)}
+        hist_bytes = (
+            cfg.num_smc_sets * gen._padded(max(sizes))
+            * (self.par_set.npar + len(self.metrics) + 1)
+            * jnp.dtype(gen.dtype).itemsize
+        )
+        use_scan = (
+            pending is None and t0 == 0
+            and not cfg.nrmse_tolerance
+            and len(sizes) == 1 and len(keeps) == 1
+            and hist_bytes <= 256 * 2**20
+        )
+
         pending_mets = None
         if pending is not None:
             # resume the pending population from params + stored per-particle
@@ -634,8 +665,11 @@ class AbcSmc:
                     )
                 pending_mets = jnp.asarray(merged, gen.dtype)
         else:
-            key, k0 = jax.random.split(key)
-            params, seeds = gen.init_population(k0, cfg.smc_size_at(0))
+            if not use_scan:
+                # run_scan performs this exact split + init itself, so the
+                # fast path must leave the key unconsumed (chain parity)
+                key, k0 = jax.random.split(key)
+                params, seeds = gen.init_population(k0, cfg.smc_size_at(0))
             pending_serials = None
         if t0 > 0:
             # proposal state from the last ingested set
@@ -652,7 +686,24 @@ class AbcSmc:
 
         results = []
         pops = []
-        for t in range(t0, cfg.num_smc_sets):
+        fetched = None
+        t_dispatch0 = time.perf_counter()
+        if use_scan:
+            n0, keep0 = next(iter(sizes)), next(iter(keeps))
+            gens_n = cfg.num_smc_sets
+            _last, hist = gen.run_scan(
+                key, n0, keep0, gens_n, full_history=True
+            )
+            (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
+             pars_a, seeds_a, mets_a) = jax.device_get(hist)
+            fetched = [
+                (pars_a[g], seeds_a[g], mets_a[g], sidx[g], w_a[g],
+                 dv_a[g], ncomp_a[g])
+                for g in range(gens_n)
+            ]
+            results = [None] * gens_n
+            pops = [(None, None, None, n0)] * gens_n
+        for t in [] if use_scan else range(t0, cfg.num_smc_sets):
             key, kt = jax.random.split(key)
             n_t = cfg.smc_size_at(t)
             last = t + 1 >= cfg.num_smc_sets
@@ -680,21 +731,36 @@ class AbcSmc:
             if self._nrmse_converged(res.survivor_metrics, t):
                 break
 
+        t_dispatch = time.perf_counter() - t_dispatch0
+
         # ---- mirror into the run store (schema parity) ----
+        # one batched device_get for every buffer of every set: transfers are
+        # issued together (copy_to_host_async under the hood), so a remote
+        # tunnel pays its round-trip latency once, not once per array per set
+        t_mirror0 = time.perf_counter()
+        if fetched is None:
+            fetched = jax.device_get([
+                (
+                    pars_d, seeds_d, mets_d, res.survivor_idx, res.weights,
+                    res.doubled_variance, res.ncomp_used,
+                )
+                for res, (pars_d, seeds_d, mets_d, _n) in zip(results, pops)
+            ])
         if mirror_store and not self.storage.exists():
             self.storage.create(
                 self.par_set.short_names(),
                 [m.short_name for m in self.metrics],
                 self.transform.has_any,
             )
-        for i, (res, (pars_d, seeds_d, mets_d, n_t)) in enumerate(
-            zip(results, pops)
+        for i, (res, (_pd, _sd, _md, n_t), host) in enumerate(
+            zip(results, pops, fetched)
         ):
             t = t0 + i
-            pars_np = np.asarray(pars_d, np.float64)[:n_t]
-            seeds_np = np.asarray(seeds_d, np.uint64)[:n_t]
-            mets_np = np.asarray(mets_d, np.float64)[:n_t]
-            surv = np.asarray(res.survivor_idx, np.int64)
+            (pars_h, seeds_h, mets_h, surv_h, w_h, dv_h, ncomp_h) = host
+            pars_np = np.asarray(pars_h, np.float64)[:n_t]
+            seeds_np = np.asarray(seeds_h, np.uint64)[:n_t]
+            mets_np = np.asarray(mets_h, np.float64)[:n_t]
+            surv = np.asarray(surv_h, np.int64)
             ranks = np.full(len(pars_np), -1, np.int64)
             ranks[surv] = np.arange(len(surv))
             if mirror_store and t == t0 and pending_serials is not None:
@@ -720,19 +786,26 @@ class AbcSmc:
             self._particle_parameters.append(pars_np)
             self._particle_metrics.append(mets_np)
             self._predictive_prior.append(surv)
-            self._weights.append(np.asarray(res.weights, np.float64))
-            self._doubled_variance.append(
-                np.asarray(res.doubled_variance, np.float64)
-            )
+            self._weights.append(np.asarray(w_h, np.float64))
+            self._doubled_variance.append(np.asarray(dv_h, np.float64))
             # selection observability (ncomp collapsing to 1 on structured
             # data is a silent statistical failure; see VERDICT r2 #1)
             self.timings.append({
                 "op": "device_generation", "set": t,
-                "ncomp_used": int(np.asarray(res.ncomp_used)),
+                "ncomp_used": int(np.asarray(ncomp_h)),
             })
             reports.filtering_report(
                 self, t, pars_np[surv], mets_np[surv]
             )
+        # phase observability: at small populations on a remote tunnel the
+        # dispatch loop (per-set program launches) and the mirror loop
+        # (device->host fetch + store writes + reports) dominate over compute;
+        # surface the split so perf regressions are attributable
+        self.timings.append({
+            "op": "run_device_phases", "sets": len(results),
+            "dispatch_s": round(t_dispatch, 4),
+            "mirror_s": round(time.perf_counter() - t_mirror0, 4),
+        })
         reports.report_convergence_data(self, t0 + len(results) - 1)
         return self
 

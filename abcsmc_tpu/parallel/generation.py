@@ -640,7 +640,9 @@ class ShardedGeneration:
         return step_fn
 
     # ------------------------------------------------------------------ fused run
-    def run_scan(self, key, n: int, keep: int, gens: int):
+    def run_scan(
+        self, key, n: int, keep: int, gens: int, full_history: bool = False,
+    ):
         """ALL generations as ONE jitted program: generation 0 inline, the
         remaining ``gens - 1`` generations as a ``lax.scan`` over the fused
         step.
@@ -662,11 +664,16 @@ class ShardedGeneration:
         proposal), ``history`` is a pytree of per-generation stacked
         survivor data ``(survivor_idx [G,K], survivor_params [G,K,P],
         survivor_metrics [G,K,M], weights [G,K], doubled_variance [G,P],
-        ncomp_used [G])``.
+        ncomp_used [G])``. With ``full_history=True`` three more leaves are
+        appended — the FULL per-generation populations ``(params [G,Npad,P],
+        seeds [G,Npad], metrics [G,Npad,M])`` (rows past ``n`` are padding) —
+        enough to mirror every generation into the run store without any
+        other device round trip. That costs ``gens * n_pad * (P + M + 1)``
+        extra HBM words; callers gate it by size (engine.run_device does).
         """
         assert gens >= 1
         n_pad = self._padded(n)
-        cache_key = ("scan", n_pad, n, keep, gens)
+        cache_key = ("scan", n_pad, n, keep, gens, full_history)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             # traced-through step programs (jit-of-jit inlines)
@@ -693,12 +700,15 @@ class ShardedGeneration:
                 )
                 res0 = first_fn(kts[0], params, seeds, *dummy)
 
-                def ys_of(res):
-                    return (
+                def ys_of(res, pop_params, pop_seeds):
+                    base = (
                         res.survivor_idx, res.survivor_params,
                         res.survivor_metrics, res.weights,
                         res.doubled_variance, res.ncomp_used,
                     )
+                    if full_history:
+                        base += (pop_params, pop_seeds, res.metrics)
+                    return base
 
                 def body(carry, kt):
                     params, seeds, prev = carry
@@ -707,15 +717,15 @@ class ShardedGeneration:
                         res.survivor_params, res.weights,
                         res.doubled_variance,
                     )
-                    # ys are K-sized only - stacking full populations over
-                    # generations would cost gens * N * M of HBM
+                    # default ys are K-sized (full_history opts in to the
+                    # gens * N * M HBM cost of stacking whole populations)
                     return (res.next_params, res.next_seeds, prev2), ys_of(
-                        res
+                        res, params, seeds
                     )
 
                 if gens == 1:
                     history = jax.tree_util.tree_map(
-                        lambda x: x[None], ys_of(res0)
+                        lambda x: x[None], ys_of(res0, params, seeds)
                     )
                     return res0, history
                 carry0 = (
@@ -724,7 +734,9 @@ class ShardedGeneration:
                      res0.doubled_variance),
                 )
                 parts = [
-                    jax.tree_util.tree_map(lambda x: x[None], ys_of(res0))
+                    jax.tree_util.tree_map(
+                        lambda x: x[None], ys_of(res0, params, seeds)
+                    )
                 ]
                 if gens > 2:
                     carry0, ys_mid = jax.lax.scan(
@@ -734,7 +746,9 @@ class ShardedGeneration:
                 params_l, seeds_l, prev_l = carry0
                 last = later_fn(kts[-1], params_l, seeds_l, *prev_l)
                 parts.append(
-                    jax.tree_util.tree_map(lambda x: x[None], ys_of(last))
+                    jax.tree_util.tree_map(
+                        lambda x: x[None], ys_of(last, params_l, seeds_l)
+                    )
                 )
                 history = jax.tree_util.tree_map(
                     lambda *xs: jnp.concatenate(xs, axis=0), *parts

@@ -67,6 +67,37 @@ def test_run_device_converges_like_host():
     assert abs(pars[:, 1].mean() - 8.4) < 6
 
 
+def test_run_device_scan_path_matches_sequential_loop():
+    """Fresh constant-shape runs take the one-program run_scan fast path;
+    forcing the sequential per-set loop (via an NRMSE tolerance too small to
+    ever trigger) must give the identical stored result on CPU (the fused
+    chain replicates the key-split chain exactly; see
+    generation.ShardedGeneration.run_scan)."""
+    cfg = dice_cfg(n=64)
+    abc_scan = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                      storage=MemoryStorage())
+    abc_scan.run_device(seed=17)
+    phases = [t for t in abc_scan.timings if t["op"] == "run_device_phases"]
+    assert phases, "phase observability entry missing"
+
+    cfg_seq = dict(cfg, nrmse_tolerance=1e-12)  # disables the fast path
+    abc_seq = AbcSmc(cfg_seq, simulator=make_dice_simulator(max_dice=50),
+                     storage=MemoryStorage())
+    abc_seq.run_device(seed=17)
+
+    for t in range(3):
+        np.testing.assert_array_equal(
+            abc_scan.particle_parameters[t], abc_seq.particle_parameters[t]
+        )
+        np.testing.assert_array_equal(
+            abc_scan.particle_metrics[t], abc_seq.particle_metrics[t]
+        )
+    p1, w1 = abc_scan.posterior()
+    p2, w2 = abc_seq.posterior()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(w1, w2, rtol=1e-12)
+
+
 def test_run_device_falls_back_for_host_simulator():
     abc = AbcSmc(
         dice_cfg(n=20),
