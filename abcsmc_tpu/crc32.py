@@ -77,9 +77,13 @@ def verify_checkpoint(path: str | os.PathLike) -> bool:
     try:
         with open(stamp_path) as fh:
             stamp = json.load(fh)
+        st = os.stat(path)
+        crc = file_crc(path)
     except (OSError, ValueError):
+        # missing/unreadable checkpoint OR stamp: both are verification
+        # failures, not crashes - the lost-in-transit case is exactly what
+        # this function exists to detect
         return False
-    st = os.stat(path)
     return st.st_size == stamp.get("bytes") and (
-        f"{file_crc(path):08x}" == stamp.get("crc32")
+        f"{crc:08x}" == stamp.get("crc32")
     )

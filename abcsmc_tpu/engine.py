@@ -686,65 +686,68 @@ class AbcSmc:
 
         results = []
         pops = []
-        fetched = None
+        hist = None
         t_dispatch0 = time.perf_counter()
         if use_scan:
             n0, keep0 = next(iter(sizes)), next(iter(keeps))
-            gens_n = cfg.num_smc_sets
             _last, hist = gen.run_scan(
-                key, n0, keep0, gens_n, full_history=True
+                key, n0, keep0, cfg.num_smc_sets, full_history=True
             )
-            (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
-             pars_a, seeds_a, mets_a) = jax.device_get(hist)
-            fetched = [
-                (pars_a[g], seeds_a[g], mets_a[g], sidx[g], w_a[g],
-                 dv_a[g], ncomp_a[g])
-                for g in range(gens_n)
-            ]
-            results = [None] * gens_n
-            pops = [(None, None, None, n0)] * gens_n
-        for t in [] if use_scan else range(t0, cfg.num_smc_sets):
-            key, kt = jax.random.split(key)
-            n_t = cfg.smc_size_at(t)
-            last = t + 1 >= cfg.num_smc_sets
-            n_next = 0 if last else cfg.smc_size_at(t + 1)
-            if t == t0 and pending_mets is not None:
-                # resumed set: metrics are the stored-'D'/re-simulated merge
-                res = gen.step_precomputed(
-                    kt, params, pending_mets, cfg.pred_prior_size_at(t),
-                    n_next, state, n_valid=n_t,
+        else:
+            for t in range(t0, cfg.num_smc_sets):
+                key, kt = jax.random.split(key)
+                n_t = cfg.smc_size_at(t)
+                last = t + 1 >= cfg.num_smc_sets
+                n_next = 0 if last else cfg.smc_size_at(t + 1)
+                if t == t0 and pending_mets is not None:
+                    # resumed set: metrics are the stored-'D'/re-simulated
+                    # merge
+                    res = gen.step_precomputed(
+                        kt, params, pending_mets, cfg.pred_prior_size_at(t),
+                        n_next, state, n_valid=n_t,
+                    )
+                else:
+                    res = gen.step(
+                        kt, params, seeds, cfg.pred_prior_size_at(t), n_next,
+                        state, n_valid=n_t,
+                    )
+                # keep device references; the host fetch happens in the
+                # mirror phase below so generation t+1 dispatches without
+                # waiting on a (tunnel-slow) O(N) device->host transfer of
+                # generation t
+                pops.append((params, seeds, res.metrics))
+                results.append(res)
+                state = (
+                    res.survivor_params, res.weights, res.doubled_variance
                 )
-            else:
-                res = gen.step(
-                    kt, params, seeds, cfg.pred_prior_size_at(t), n_next,
-                    state, n_valid=n_t,
-                )
-            # keep device references; the host fetch happens in the mirror
-            # loop below so generation t+1 dispatches without waiting on a
-            # (tunnel-slow) O(N) device->host transfer of generation t
-            pops.append((params, seeds, res.metrics, n_t))
-            results.append(res)
-            state = (
-                res.survivor_params, res.weights, res.doubled_variance
-            )
-            params, seeds = res.next_params, res.next_seeds
-            if self._nrmse_converged(res.survivor_metrics, t):
-                break
+                params, seeds = res.next_params, res.next_seeds
+                if self._nrmse_converged(res.survivor_metrics, t):
+                    break
 
         t_dispatch = time.perf_counter() - t_dispatch0
 
         # ---- mirror into the run store (schema parity) ----
         # one batched device_get for every buffer of every set: transfers are
         # issued together (copy_to_host_async under the hood), so a remote
-        # tunnel pays its round-trip latency once, not once per array per set
+        # tunnel pays its round-trip latency once, not once per array per set.
+        # Both paths fetch here, so dispatch_s below is launch-only and
+        # mirror_s is fetch + store writes + reports on either path.
         t_mirror0 = time.perf_counter()
-        if fetched is None:
+        if hist is not None:
+            (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
+             pars_a, seeds_a, mets_a) = jax.device_get(hist)
+            fetched = [
+                (pars_a[g], seeds_a[g], mets_a[g], sidx[g], w_a[g],
+                 dv_a[g], ncomp_a[g])
+                for g in range(cfg.num_smc_sets)
+            ]
+        else:
             fetched = jax.device_get([
                 (
                     pars_d, seeds_d, mets_d, res.survivor_idx, res.weights,
                     res.doubled_variance, res.ncomp_used,
                 )
-                for res, (pars_d, seeds_d, mets_d, _n) in zip(results, pops)
+                for res, (pars_d, seeds_d, mets_d) in zip(results, pops)
             ])
         if mirror_store and not self.storage.exists():
             self.storage.create(
@@ -752,10 +755,9 @@ class AbcSmc:
                 [m.short_name for m in self.metrics],
                 self.transform.has_any,
             )
-        for i, (res, (_pd, _sd, _md, n_t), host) in enumerate(
-            zip(results, pops, fetched)
-        ):
+        for i, host in enumerate(fetched):
             t = t0 + i
+            n_t = cfg.smc_size_at(t)
             (pars_h, seeds_h, mets_h, surv_h, w_h, dv_h, ncomp_h) = host
             pars_np = np.asarray(pars_h, np.float64)[:n_t]
             seeds_np = np.asarray(seeds_h, np.uint64)[:n_t]
@@ -802,11 +804,11 @@ class AbcSmc:
         # (device->host fetch + store writes + reports) dominate over compute;
         # surface the split so perf regressions are attributable
         self.timings.append({
-            "op": "run_device_phases", "sets": len(results),
+            "op": "run_device_phases", "sets": len(fetched),
             "dispatch_s": round(t_dispatch, 4),
             "mirror_s": round(time.perf_counter() - t_mirror0, 4),
         })
-        reports.report_convergence_data(self, t0 + len(results) - 1)
+        reports.report_convergence_data(self, t0 + len(fetched) - 1)
         return self
 
     def _run_device_projection(self, seed: int, mesh, verbose: bool):
@@ -888,6 +890,7 @@ class AbcSmc:
         file as ``<path>.crc.json`` so a copy shipped between cluster
         filesystems can be verified on arrival (``verify_checkpoint``).
         Returns the stamp dict (empty when ``stamp=False``)."""
+        path = os.fspath(path)  # accept PathLike everywhere, incl. the stamp
         if isinstance(self.storage, MemoryStorage):
             target = SQLiteStorage(path)
             self.storage.snapshot_to(target)
@@ -895,9 +898,14 @@ class AbcSmc:
         elif isinstance(self.storage, SQLiteStorage) and (
             os.path.abspath(path) != os.path.abspath(self.storage.path)
         ):
+            import contextlib
             import sqlite3 as _sq
 
-            with _sq.connect(self.storage.path) as src, _sq.connect(path) as dst:
+            # contextlib.closing: sqlite3's own context manager only commits,
+            # it does not close - leaked handles hold the file lock on NFS
+            with contextlib.closing(
+                _sq.connect(self.storage.path)
+            ) as src, contextlib.closing(_sq.connect(path)) as dst:
                 src.backup(dst)
         if not stamp:
             return {}

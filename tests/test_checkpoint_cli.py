@@ -88,6 +88,12 @@ def test_checkpoint_copies_sqlite_backed_store(tmp_path):
     stamp2 = abc.checkpoint(live)
     assert crc32.verify_checkpoint(live) is True
     assert stamp2["path"] == live
+    # os.PathLike targets work end-to-end (incl. the .crc.json sidecar)
+    from pathlib import Path
+
+    stamp3 = abc.checkpoint(Path(tmp_path) / "pathlike.sqlite")
+    assert crc32.verify_checkpoint(tmp_path / "pathlike.sqlite") is True
+    assert stamp3["bytes"] > 0
 
 
 def test_ess_diagnostic():

@@ -76,3 +76,11 @@ def test_verify_checkpoint_detects_corruption(tmp_path):
     assert verify_checkpoint(p) is False
     # and a missing stamp is a clean False, not an exception
     assert verify_checkpoint(tmp_path / "nope.sqlite") is False
+    # a stamp whose checkpoint was lost in transit is ALSO a clean False -
+    # the arrival-verification scenario this function exists for
+    lost = tmp_path / "lost.sqlite"
+    lost.write_bytes(b"payload")
+    with open(f"{lost}.crc.json", "w") as fh:
+        json.dump(database_crc(lost), fh)
+    os.unlink(lost)
+    assert verify_checkpoint(lost) is False
