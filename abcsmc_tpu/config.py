@@ -40,10 +40,11 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    stratified resampling - strictly lower variance;
                    Kitagawa 1996)
   ``weight_precision``  MXU dot precision of the device weight kernel:
-                   "high" (default: 3-pass split-bf16, 2.3e-4 nats vs full
-                   f32, 1.9x faster at 500k survivors), "highest" (full
-                   f32), or "default" (single bf16 pass, ~4e-2 nats); see
-                   docs/DESIGN.md "Where the rooflines are"
+                   "high" (default: lane-packed 3-way split-bf16, 7.6e-6
+                   nats vs full f32 at 4.6x the speed for <= 19 params),
+                   "highest" (full f32), or "default" (single bf16 pass,
+                   ~4e-2 nats); see docs/DESIGN.md "Where the rooflines
+                   are"
 """
 
 from __future__ import annotations

@@ -48,14 +48,16 @@ NEG_INF = -1e30
 def _dot_logits(refs, precision):
     """The logit tile. Two input layouts:
 
-    - 2 refs (a, b): one f32 dot at ``precision`` ("highest" = Mosaic's
-      fused 6-pass full-f32 product; "default" = single bf16 pass).
-    - 4 refs (a_hi, a_lo, b_hi, b_lo): hand-rolled 3-pass split-bf16
-      product, hi/lo HALVES PRE-SPLIT OUTSIDE the kernel. (An in-kernel
-      split was tried in round 2 and measured SLOWER than "highest" - the
-      per-tile split work and re-traversals ate the gain; with the split
-      hoisted out, the three bf16 passes cost half of "highest"'s six at
-      ~1.5e-4 nats accuracy, and bf16 operands also halve the DMA bytes.)
+    - 2 refs (a, b): one dot at ``precision``. "highest" = Mosaic's fused
+      6-pass full-f32 product; "default" = single bf16 pass - which is also
+      how the PACKED split-bf16 layout runs: the caller concatenates the
+      hi/mid/lo bf16 sections of both operands along the (lane-padded)
+      contraction axis so this single default-precision dot accumulates all
+      six cross terms of the full-f32 product (see mixture_logsumexp).
+    - 4 refs (a_hi, a_lo, b_hi, b_lo): the wide-p fallback - hand-rolled
+      3-pass split-bf16 product, hi/lo HALVES PRE-SPLIT OUTSIDE the kernel.
+      (An in-kernel split was tried in round 2 and measured SLOWER than
+      "highest" - the per-tile split work and re-traversals ate the gain.)
     """
     if len(refs) == 2:
         a_ref, b_ref = refs
@@ -137,6 +139,16 @@ def _split_bf16(x):
     return hi, x - hi
 
 
+def _split_bf16_3(x):
+    """x (f32) -> (hi, mid, lo) f32 triple, each exactly bf16-representable,
+    with hi + mid + lo == x to full f32 precision (3 x 8 = 24 mantissa bits
+    covers the f32 significand; a 2-way split only covers 16 - that is where
+    the 3-pass path's 2.3e-4 nats floor came from)."""
+    hi, r = _split_bf16(x)
+    mid, lo = _split_bf16(r)
+    return hi, mid, lo
+
+
 def _pallas_logsumexp(operands, ni, nj, block_i, block_j, p_aug,
                       interpret, precision, static: bool):
     kernel = _mixture_kernel_static if static else _mixture_kernel_online
@@ -176,9 +188,11 @@ def mixture_logsumexp(
     a: [n, p] scaled query particles; b: [m, p] scaled mixture centers;
     log_w: [m] log mixture weights. Returns [n] float32.
 
-    ``precision`` sets the MXU dot precision; the default "highest" (full
-    f32) costs only a few percent over bf16 passes while cutting the
-    log-density error ~400x (docs/TPU_VALIDATION.md).
+    ``precision`` sets the MXU dot scheme: "highest" = Mosaic's 6-pass full
+    f32; "high" = split-bf16 - PACKED into one 128-lane bf16 pass whenever
+    6*(p+2) <= 128 (full-f32-class accuracy at ~6x "highest" throughput;
+    see the packed-layout comment below), else the 3-pass hi/lo fallback
+    (~2.3e-4 nats); "default" = one plain bf16 pass (~4e-2 nats).
 
     ``mode``: "auto" (static-max fast kernel, with a sound lax.cond rerun
     through the online kernel if any row's exp-sum underflows - see module
@@ -220,23 +234,46 @@ def mixture_logsumexp(
         [b_p, jnp.ones((m + m_pad, 1), jnp.float32), lwb], axis=1
     )
 
+    p2 = p + 2
+    kernel_precision = precision
+    if precision == "high" and 6 * p2 <= 128:
+        # PACKED split-bf16: the contraction axis is lane-padded to 128
+        # anyway, so instead of 3 separate 128-lane bf16 passes (a_hi.b_hi +
+        # a_hi.b_lo + a_lo.b_hi), ride ALL cross terms of a 3-way bf16 split
+        # in the free lanes of ONE pass. With hi/mid/lo covering the full 24
+        # f32 mantissa bits, the 6 section pairs
+        #     (hi,hi) (hi,mid) (mid,hi) (hi,lo) (mid,mid) (lo,hi)
+        # reconstruct the f32 product to ~2^-24 (the dropped (mid,lo),
+        # (lo,mid), (lo,lo) terms are < 2^-27 relative); the MXU rounds each
+        # operand element to bf16 losslessly since every section is
+        # bf16-exact by construction. One bf16 pass + half the operand DMA
+        # of the 4-ref layout => ~3x the old "high" throughput at BETTER
+        # (full-f32-class) accuracy. Needs 6*(p+2) <= 128, i.e. p <= 19 -
+        # every SMC parameter-space shape; larger p falls back to the
+        # 3-pass layout below.
+        ah, am, al = _split_bf16_3(a_aug)
+        bh, bm, bl = _split_bf16_3(b_aug)
+        a_aug = jnp.concatenate([ah, ah, am, ah, am, al], axis=1)
+        b_aug = jnp.concatenate([bh, bm, bh, bl, bm, bh], axis=1)
+        p2 = 6 * p2
+        kernel_precision = "default"  # the sections ARE the precision scheme
+
     # lane-pad the feature axis (zero columns contribute nothing) and the
     # query count (all-zero rows: dot = 0, harmless, trimmed on return)
-    p2 = p + 2
     p_aug = max(128, -(-p2 // 128) * 128)
     a_aug = jnp.pad(a_aug, ((0, ni * block_i - n), (0, p_aug - p2)))
     b_aug = jnp.pad(b_aug, ((0, 0), (0, p_aug - p2)))
 
-    if precision == "high":
-        # Mosaic has no built-in 3-pass f32 dot; hand-split into bf16
-        # hi/lo halves OUTSIDE the kernel (see _dot_logits)
+    if kernel_precision == "high":
+        # wide-p fallback: Mosaic has no built-in 3-pass f32 dot; hand-split
+        # into bf16 hi/lo halves OUTSIDE the kernel (see _dot_logits)
         operands = [*_split_bf16(a_aug), *_split_bf16(b_aug)]
     else:
         operands = [a_aug, b_aug]
 
     run = functools.partial(
         _pallas_logsumexp, operands, ni, nj, block_i, block_j, p_aug,
-        interpret, precision,
+        interpret, kernel_precision,
     )
 
     if mode == "online":

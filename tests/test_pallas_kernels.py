@@ -35,6 +35,92 @@ def test_mixture_logsumexp_matches_xla(n, m, p):
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
 
 
+def _f64_reference(params, prev, w, dv):
+    import math
+
+    a = (params - prev.mean(0)) / np.sqrt(dv)
+    b = (prev - prev.mean(0)) / np.sqrt(dv)
+    D = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    L = np.log(w)[None, :] - 0.5 * D
+    mx = L.max(1, keepdims=True)
+    log_norm = -0.5 * np.sum(np.log(2.0 * math.pi * dv))
+    return mx[:, 0] + np.log(np.exp(L - mx).sum(1)) + log_norm
+
+
+@pytest.mark.parametrize("p", [3, 6, 19])
+def test_packed_split_bf16_high_is_f32_accurate(p):
+    """precision='high' with 6*(p+2) <= 128 takes the PACKED 3-way-split
+    layout: one default-precision dot over concatenated hi/mid/lo sections
+    must reconstruct the full-f32 product (the 2-way 3-pass fallback only
+    covers 16 mantissa bits). Checked against an f64 oracle at a tolerance
+    the old path could NOT meet (its floor was ~2.3e-4)."""
+    rng = np.random.default_rng(7)
+    n, m = 257, 301
+    params = rng.uniform(0, 1, (n, p))
+    prev = rng.uniform(0.2, 0.8, (m, p))
+    w = rng.dirichlet(np.ones(m))
+    dv = rng.uniform(0.01, 0.1, p)
+    expect = _f64_reference(params, prev, w, dv)
+
+    from abcsmc_tpu.ops.weights import _prep_scaled
+
+    a, b, log_norm = _prep_scaled(
+        jnp.asarray(params, jnp.float32), jnp.asarray(prev, jnp.float32),
+        jnp.asarray(dv, jnp.float32),
+    )
+    got = np.asarray(mixture_logsumexp(
+        a, b, jnp.log(jnp.asarray(w, jnp.float32)),
+        block_i=128, block_j=128, interpret=True, precision="high",
+    )) + float(log_norm)
+    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_wide_p_high_falls_back_to_three_pass():
+    """p large enough that 6*(p+2) > 128 must still work (the 4-ref 3-pass
+    split layout) at the old path's accuracy."""
+    rng = np.random.default_rng(8)
+    n, m, p = 130, 140, 25          # 6*(25+2) = 162 > 128
+    params = rng.uniform(0, 1, (n, p))
+    prev = rng.uniform(0.2, 0.8, (m, p))
+    w = rng.dirichlet(np.ones(m))
+    dv = rng.uniform(0.01, 0.1, p)
+    expect = _f64_reference(params, prev, w, dv)
+
+    from abcsmc_tpu.ops.weights import _prep_scaled
+
+    a, b, log_norm = _prep_scaled(
+        jnp.asarray(params, jnp.float32), jnp.asarray(prev, jnp.float32),
+        jnp.asarray(dv, jnp.float32),
+    )
+    got = np.asarray(mixture_logsumexp(
+        a, b, jnp.log(jnp.asarray(w, jnp.float32)),
+        block_i=128, block_j=128, interpret=True, precision="high",
+    )) + float(log_norm)
+    np.testing.assert_allclose(got, expect, rtol=5e-4, atol=5e-4)
+
+
+def test_split_bf16_3_reconstructs_f32():
+    """hi/mid/lo are each bf16-exact and sum exactly back to x."""
+    from abcsmc_tpu.ops.pallas_kernels import _split_bf16_3
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        np.concatenate([
+            rng.normal(size=1000) * 10 ** rng.uniform(-20, 20, 1000),
+            [0.0, 1.0, -1.0, 1e-30, -1e30],
+        ]), jnp.float32,
+    )
+    hi, mid, lo = _split_bf16_3(x)
+    for part in (hi, mid, lo):
+        rt = np.asarray(part).astype(np.float32)
+        # bf16-exact: low 16 mantissa bits are zero
+        bits = rt.view(np.uint32)
+        assert np.all(bits & 0xFFFF == 0)
+    np.testing.assert_array_equal(
+        np.asarray(hi) + (np.asarray(mid) + np.asarray(lo)), np.asarray(x)
+    )
+
+
 def test_mixture_logsumexp_modes_agree():
     """static-max and online-max kernels are the same statistic; auto picks
     static on well-posed inputs."""

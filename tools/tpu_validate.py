@@ -92,7 +92,9 @@ def main():
         got = np.asarray(pallas_fn())
         want = np.asarray(xla_fn())
         # the split-bf16 production default (ShardedGeneration
-        # weight_precision="high") must hold ~2e-4 nats on hardware too
+        # weight_precision="high"; lane-packed 3-way split => full-f32-class
+        # ~1e-5 nats for p <= 19, 3-pass 2-way fallback ~2e-4 above) must
+        # hold on hardware too
         got_high = np.asarray(
             mixture_logsumexp(a, b, lw, precision="high") + log_norm
         )
