@@ -51,6 +51,7 @@ GENS = 6
 
 
 def one_fit(sim, obs, n, seed):
+    """Returns the fitted AbcSmc engine (posterior + summary surfaces)."""
     from abcsmc_tpu.engine import AbcSmc
     from abcsmc_tpu.storage import MemoryStorage
 
@@ -68,14 +69,7 @@ def one_fit(sim, obs, n, seed):
     }
     abc = AbcSmc(cfg, simulator=sim, storage=MemoryStorage())
     abc.run_device(seed=seed, verbose=False)
-    return abc.posterior()
-
-
-def weighted_quantile(x, w, q):
-    order = np.argsort(x)
-    cw = np.cumsum(w[order])
-    cw /= cw[-1]
-    return float(np.interp(q, cw, x[order]))
+    return abc
 
 
 def main(reps: int = 32, n: int = 4096) -> None:
@@ -91,22 +85,29 @@ def main(reps: int = 32, n: int = 4096) -> None:
     cov90 = np.zeros((reps, NPAR), bool)
     mean_err = np.zeros((reps, NPAR))
     for r in range(reps):
-        truth = rng.uniform(0.05, 0.95, NPAR)
+        # truths MUST come from the exact prior (U(0, 1) here) or the
+        # u ~ U(0,1) premise of SBC breaks: truncating the truth range
+        # makes even an exactly calibrated posterior read as conservative
+        truth = rng.uniform(0.0, 1.0, NPAR)
         obs = np.asarray(sim.run_batch(
             truth[None, :], np.array([1000 + r]), np.array([0])
         )[0])
-        pars, w = one_fit(sim, obs, n, seed=31 * r + 7)
+        abc = one_fit(sim, obs, n, seed=31 * r + 7)
+        pars, w = abc.posterior()
         w = np.asarray(w, float)
         w /= w.sum()
         pars = np.asarray(pars, float)
-        for p in range(NPAR):
+        # interval endpoints come from the ENGINE's own quantile rule
+        # (posterior_summary, inverse-CDF over the weight distribution), so
+        # the coverage numbers certify the intervals practitioners read
+        summ = abc.posterior_summary(quantiles=(0.05, 0.25, 0.75, 0.95))
+        for p, (name, s) in enumerate(summ.items()):
             x = pars[:, p]
             u_vals[r, p] = float(w[x <= truth[p]].sum())
-            lo50, hi50 = (weighted_quantile(x, w, q) for q in (0.25, 0.75))
-            lo90, hi90 = (weighted_quantile(x, w, q) for q in (0.05, 0.95))
-            cov50[r, p] = lo50 <= truth[p] <= hi50
-            cov90[r, p] = lo90 <= truth[p] <= hi90
-            mean_err[r, p] = abs(float((x * w).sum()) - truth[p])
+            qs = s["quantiles"]
+            cov50[r, p] = qs[0.25] <= truth[p] <= qs[0.75]
+            cov90[r, p] = qs[0.05] <= truth[p] <= qs[0.95]
+            mean_err[r, p] = abs(s["mean"] - truth[p])
         print(f"replicate {r + 1}/{reps}: "
               f"cov90 {cov90[: r + 1].mean():.3f} "
               f"cov50 {cov50[: r + 1].mean():.3f}", flush=True)
@@ -126,7 +127,8 @@ def main(reps: int = 32, n: int = 4096) -> None:
         "",
         f"{reps} replicates x {n} particles x {GENS} generations, "
         f"{NPAR} params x {NMET} metrics (linear-Gaussian device simulator, "
-        f"truths ~ U(0.05, 0.95), keep 10%).",
+        f"truths ~ the exact U(0, 1) prior, keep 10%; intervals from the "
+        f"engine's own posterior_summary quantile rule).",
         "",
         "| param | cov50 (nominal 0.50) | cov90 (nominal 0.90) | "
         "KS(u, U(0,1)) | mean abs err |",
