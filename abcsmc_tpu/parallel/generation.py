@@ -437,16 +437,6 @@ class ShardedGeneration:
                         test, start, nsub, axis=0
                     )                                             # [ns, 1]
                     g_s = shard * local_n + start + jnp.arange(nsub)
-                    contribs = t_s[:, :, None] * QT[None, :, :]   # [ns, A, p]
-                    preds = jnp.cumsum(contribs, axis=1)
-                    resid = zp_s[:, None, :] - preds
-                    sq = resid * resid * test_s[:, :, None]       # [ns, A, p]
-                    best = jnp.argmin(press, axis=0)              # [p]
-                    best_err = jnp.take_along_axis(
-                        sq, best[None, None, :].repeat(nsub, 0), axis=1
-                    )                                             # [ns, 1, p]
-                    dd = sq - best_err                            # [ns, A, p]
-                    t_obs = jax.lax.psum(jnp.sum(dd, axis=0), AXIS)
                     # signs are a pure function of (key, permutation, GLOBAL
                     # row index): the selection is layout-invariant and, when
                     # the cap is not binding, EQUALS the host rule
@@ -455,11 +445,60 @@ class ShardedGeneration:
                         pls_mod.vdv_seed(key), self.vdv_permutations, g_s,
                         self.dtype,
                     )
-                    t_perm = jax.lax.psum(
-                        jnp.einsum("kn,nap->kap", sgn, dd), AXIS
-                    )
+                    # moment expansion: every statistic here has the form
+                    #   S_w[a,j] = sum_n w_n test_n (zp_nj - sum_{b<=a} t_nb QT_bj)^2
+                    # for w = 1 (observed) and w = each sign row; expanding
+                    # the square turns the whole permutation test into ONE
+                    # [K+1, ns] @ [ns, p + A*p + A*A] MXU matmul plus a tiny
+                    # [K+1, A, p] prefix-sum recombination. The direct
+                    # [ns, A, p] cumsum/residual/gather chain it replaces was
+                    # the fused step's #2 cost at 1M particles (lane-starved:
+                    # p in the 128-lane minor dim).
+                    tm = t_s * test_s                             # [ns, A]
+                    zpm = zp_s * test_s                           # [ns, p]
+                    rhs = jnp.concatenate([
+                        zpm * zp_s,                               # [ns, p]
+                        (t_s[:, :, None] * zpm[:, None, :]
+                         ).reshape(nsub, max_comp * npar),        # [ns, A*p]
+                        (t_s[:, :, None] * tm[:, None, :]
+                         ).reshape(nsub, max_comp * max_comp),    # [ns, A*A]
+                    ], axis=1)
+                    W = jnp.concatenate(
+                        [jnp.ones((1, nsub), self.dtype), sgn], axis=0
+                    )                                             # [K1, ns]
+                    U = jax.lax.psum(
+                        jax.lax.dot(
+                            W, rhs, precision=jax.lax.Precision.HIGHEST
+                        ),
+                        AXIS,
+                    )                                             # [K1, p+Ap+AA]
+                    U0 = U[:, :npar]                              # [K1, p]
+                    U1 = U[:, npar:npar + max_comp * npar].reshape(
+                        -1, max_comp, npar
+                    )                                             # [K1, A, p]
+                    U2 = U[:, npar + max_comp * npar:].reshape(
+                        -1, max_comp, max_comp
+                    )                                             # [K1, A, A]
+                    term1 = jnp.cumsum(QT[None] * U1, axis=1)     # [K1, A, p]
+                    Z2 = (U2[:, :, :, None] * QT[None, :, None, :]
+                          * QT[None, None, :, :])                 # [K1,A,A,p]
+                    S2 = jnp.moveaxis(
+                        jnp.diagonal(
+                            jnp.cumsum(jnp.cumsum(Z2, axis=1), axis=2),
+                            axis1=1, axis2=2,
+                        ), -1, 1,
+                    )                                             # [K1, A, p]
+                    S = U0[:, None, :] - 2.0 * term1 + S2         # [K1, A, p]
+                    best = jnp.argmin(press, axis=0)              # [p]
+                    Sb = jnp.take_along_axis(
+                        S, jnp.broadcast_to(
+                            best[None, None, :], (S.shape[0], 1, npar)
+                        ), axis=1,
+                    )                                             # [K1, 1, p]
+                    tstat = S - Sb                                # [K1, A, p]
                     pvals = jnp.mean(
-                        jnp.abs(t_perm) >= jnp.abs(t_obs)[None], axis=0
+                        jnp.abs(tstat[1:]) >= jnp.abs(tstat[0])[None],
+                        axis=0,
                     )
                     ok = pvals > 0.25
                 else:
