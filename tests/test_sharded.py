@@ -461,6 +461,34 @@ def test_sharded_vdv_exactness_oracle():
     assert ncomps["8dev"] == host_ncomp
 
 
+def test_sharded_vdv_f32_matches_f64():
+    """Cancellation guard for the moment-expansion permutation test: the vdv
+    statistic is computed from psum'd moments (S = U0 - 2*T1 + S2), which is
+    algebraically equal to the direct held-out residual sums but subtracts
+    near-equal quantities. Selection must be precision-robust: f32 must pick
+    the same component count as f64 on identical data, in both the capped
+    (held-out-tail window) and uncapped regimes."""
+    n = 1024
+    cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
+    par_set = ParameterSet.from_specs(cfg.parameters)
+
+    def ncomp_for(dtype, cap):
+        gen = ShardedGeneration(
+            par_set, ParameterTransform(cfg.parameters), sim, obs,
+            mesh=particle_mesh(jax.devices()),
+            pls_optimal_method="vdv", vdv_permutations=199,
+            vdv_max_rows=cap, dtype=dtype,
+        )
+        res = gen.step_precomputed(
+            jax.random.PRNGKey(0),
+            params.astype(dtype), mets.astype(dtype), 64, 0, None,
+        )
+        return int(res.ncomp_used)
+
+    for cap in (64, 1 << 20):
+        assert ncomp_for(jnp.float32, cap) == ncomp_for(jnp.float64, cap)
+
+
 def test_run_scan_matches_sequential_run():
     """run_scan (all generations inside ONE jitted lax.scan program) must
     reproduce the sequential step-by-step run() exactly - same key chain,
