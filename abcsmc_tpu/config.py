@@ -45,6 +45,11 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    "highest" (full f32), or "default" (single bf16 pass,
                    ~4e-2 nats); see docs/DESIGN.md "Where the rooflines
                    are"
+  ``row_block``    device-path row chunking for very large populations:
+                   unset = auto (O(N)-row passes stream through scan blocks
+                   once a shard holds >= 2^23 rows, keeping the [N, M]
+                   z-score and [N, A] score buffers out of HBM), an int > 0
+                   forces that block size, 0 disables
 """
 
 from __future__ import annotations
@@ -166,6 +171,7 @@ class SmcConfig:
     pls_optimal_method: str = "vdv"
     resample_method: str = "multinomial"
     weight_precision: str = "high"
+    row_block: int | None = None
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -521,6 +527,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         pls_optimal_method=str(par.get("pls_optimal_method", "vdv")),
         resample_method=_parse_resample_method(par),
         weight_precision=_parse_weight_precision(par),
+        row_block=_parse_row_block(par),
         projection_mode=projection,
         raw=par,
     )
@@ -535,6 +542,21 @@ def _parse_resample_method(par: dict) -> str:
             code=1,
         )
     return method
+
+
+def _parse_row_block(par: dict):
+    rb = par.get("row_block", None)
+    if rb is None:
+        return None
+    try:
+        rb_int = int(rb)
+    except (TypeError, ValueError):
+        rb_int = -1
+    if rb_int < 0 or (not isinstance(rb, (int, float)) or rb_int != rb):
+        raise ConfigError(
+            f"row_block must be a non-negative integer, got {rb!r}", code=1
+        )
+    return rb_int
 
 
 def _parse_weight_precision(par: dict) -> str:

@@ -609,6 +609,7 @@ class AbcSmc:
             resample_method=cfg.resample_method,
             box_cox=cfg.box_cox,
             weight_precision=cfg.weight_precision,
+            row_block=cfg.row_block,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 

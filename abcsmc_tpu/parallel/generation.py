@@ -63,12 +63,15 @@ class ShardedGeneration:
     survivor count K, next size N2) are static arguments of the compiled step
     (a handful of distinct shapes per run -> a handful of compilations).
 
-    HBM note for very large N: the PLS score matrix is [N, A] per device
-    (A = min(n_train - 1, nmet) by default). At N = 1e8 x A = 13 that is
-    5.2 GB and exceeds a single v5e's headroom alongside the metric matrix -
-    set ``max_pls_components`` (e.g. 4) or widen the mesh; every O(N) tensor
-    shards over the particle axis. Measured: 100M ranked+weighted in 1.65 s
-    on one chip at A = 4 (docs/BENCH_EXTRA_TPU.md).
+    HBM note for very large N: above ``row_block`` auto-threshold (2^23 rows
+    per shard) the O(N)-row passes (moments, PLS Grams, distances) stream
+    through lax.scan blocks, so no [ln, M] z-score buffer or [ln, A] score
+    matrix is ever resident - only the raw metric matrix and the [ln]
+    distance vector. That keeps natural-A populations up to ~1e8 rows on a
+    single 16 GB chip (previously RESOURCE_EXHAUSTED without
+    ``max_pls_components``; docs/BENCH_EXTRA_TPU.md). ``row_block``: None =
+    auto, int > 0 forces that block size (any N), 0 disables. Box-Cox runs
+    keep the resident path.
     """
 
     def __init__(
@@ -91,6 +94,7 @@ class ShardedGeneration:
         resample_method: str = "multinomial",
         box_cox: bool = False,
         weight_precision: str = "high",
+        row_block: int | None = None,
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -119,6 +123,12 @@ class ShardedGeneration:
             # fall through to the multinomial branch
             raise ValueError(f"unknown resample method {resample_method!r}")
         self.resample_method = resample_method
+        if row_block is not None and int(row_block) < 0:
+            raise ValueError(f"row_block must be >= 0, got {row_block!r}")
+        # None = auto (chunk the O(N)-row passes when a shard's slice is big
+        # enough that the [ln, M] / [ln, A] intermediates threaten HBM);
+        # an int > 0 forces that block size; 0 disables chunking
+        self.row_block = None if row_block is None else int(row_block)
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -263,6 +273,27 @@ class ShardedGeneration:
         use_box_cox = self.box_cox and use_pls
         bc_lambdas = stats_mod.box_cox_lambda_grid()
         eps = float(1e-30)
+        # ---- big-N row chunking ----
+        # Above a few million rows per shard the [ln, M] z-score buffer and
+        # the [ln, A] score matrix dominate HBM (5.2 GB EACH at ln = 1e8,
+        # M = A = 13, f32 - the observed RESOURCE_EXHAUSTED at 100M
+        # natural-A, docs/BENCH_EXTRA_TPU.md). Chunked mode streams every
+        # O(N)-row pass (moments, Grams, distances) through lax.scan blocks
+        # with O(row_bs) temporaries: only the raw metric matrix and the
+        # [ln] distance vector stay resident. Box-Cox keeps the resident
+        # path (its lambda-grid scans want whole columns); algebra is
+        # otherwise identical, so results match to reduction-order rounding.
+        if self.row_block is None:
+            use_chunked = local_n >= (1 << 23) and not use_box_cox
+            row_bs = 1 << 21
+        elif self.row_block > 0:
+            use_chunked = not use_box_cox
+            row_bs = self.row_block
+        else:
+            use_chunked = False
+        if use_chunked:
+            row_bs = min(row_bs, local_n)
+            n_blocks = -(-local_n // row_bs)
 
         def local_step(key, params_l, second_l, prev_par, prev_w, prev_dv):
             shard = jax.lax.axis_index(AXIS)
@@ -345,10 +376,58 @@ class ShardedGeneration:
                 rank_mets_l = mets_l
                 obs_eff = obs
 
-            # ---- global metric moments (psum) ----
-            mv = rank_mets_l * vmask
-            s1 = jax.lax.psum(jnp.sum(mv, axis=0), AXIS)
-            s2 = jax.lax.psum(jnp.sum(mv * rank_mets_l, axis=0), AXIS)
+            if use_chunked:
+                # block starts: the last block is shifted back when row_bs
+                # does not divide local_n, so blocks can overlap; `fresh`
+                # (local idx >= i*row_bs) de-counts overlap rows, which the
+                # previous block already accumulated
+                starts = jnp.asarray(
+                    np.minimum(
+                        np.arange(n_blocks) * row_bs, local_n - row_bs
+                    ),
+                    jnp.int32,
+                )
+                fresh_lo = jnp.asarray(
+                    np.arange(n_blocks) * row_bs, jnp.int32
+                )
+
+                def block_rows(start, flo):
+                    lidx = start + jnp.arange(row_bs, dtype=jnp.int32)
+                    g = shard * local_n + lidx
+                    fresh = lidx >= flo
+                    mb = jax.lax.dynamic_slice_in_dim(
+                        rank_mets_l, start, row_bs, 0
+                    )
+                    pb = jax.lax.dynamic_slice_in_dim(
+                        params_l, start, row_bs, 0
+                    )
+                    return g, fresh, mb, pb
+
+                def pass_moments(carry, xs):
+                    g, fresh, mb, pb = block_rows(*xs)
+                    vm = ((g < n_true) & fresh).astype(self.dtype)[:, None]
+                    mv_b = mb * vm
+                    pv_b = pb * vm
+                    a1, a2, b1, b2 = carry
+                    return (
+                        a1 + jnp.sum(mv_b, axis=0),
+                        a2 + jnp.sum(mv_b * mb, axis=0),
+                        b1 + jnp.sum(pv_b, axis=0),
+                        b2 + jnp.sum(pv_b * pb, axis=0),
+                    ), None
+
+                zm = jnp.zeros((nmet,), self.dtype)
+                zp0 = jnp.zeros((npar,), self.dtype)
+                (s1, s2, p1, p2), _ = jax.lax.scan(
+                    pass_moments, (zm, zm, zp0, zp0), (starts, fresh_lo)
+                )
+                s1 = jax.lax.psum(s1, AXIS)
+                s2 = jax.lax.psum(s2, AXIS)
+            else:
+                # ---- global metric moments (psum) ----
+                mv = rank_mets_l * vmask
+                s1 = jax.lax.psum(jnp.sum(mv, axis=0), AXIS)
+                s2 = jax.lax.psum(jnp.sum(mv * rank_mets_l, axis=0), AXIS)
             mean = s1 / n_true
             sd = jnp.sqrt(
                 jnp.maximum(s2 - n_true * mean * mean, 0.0) / (n_true - 1)
@@ -357,43 +436,92 @@ class ShardedGeneration:
             # ranking._guard_sd; a tiny-eps floor would blow obs_z up to ~1e30
             # and swamp every informative column)
             sd = jnp.where(sd <= eps, 1.0, sd)
-            zmet_l = (rank_mets_l - mean) / sd
+            if not use_chunked:
+                zmet_l = (rank_mets_l - mean) / sd
             obs_z = (obs_eff - mean) / sd
 
             if use_pls:
                 # ---- global parameter moments ----
-                pv = params_l * vmask
-                p1 = jax.lax.psum(jnp.sum(pv, axis=0), AXIS)
-                p2 = jax.lax.psum(jnp.sum(pv * params_l, axis=0), AXIS)
+                if use_chunked:
+                    p1 = jax.lax.psum(p1, AXIS)
+                    p2 = jax.lax.psum(p2, AXIS)
+                else:
+                    pv = params_l * vmask
+                    p1 = jax.lax.psum(jnp.sum(pv, axis=0), AXIS)
+                    p2 = jax.lax.psum(jnp.sum(pv * params_l, axis=0), AXIS)
                 pmean = p1 / n_true
                 psd = jnp.sqrt(
                     jnp.maximum(p2 - n_true * pmean * pmean, 0.0)
                     / (n_true - 1)
                 )
                 psd = jnp.where(psd <= eps, 1.0, psd)
-                zpar_l = (params_l - pmean) / psd
 
-                # ---- PLS fit on the training rows (Gram psums) ----
-                train = (gidx < n_train).astype(self.dtype)[:, None]
-                xm = zmet_l * train
-                xtx = jax.lax.psum(xm.T @ xm, AXIS)
-                xty = jax.lax.psum(xm.T @ (zpar_l * train), AXIS)
-                R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
+                if use_chunked:
+                    # ---- train + held-out z-Grams in one blocked pass ----
+                    # T-space test Grams factor through R: Tt'Tt = R'(X_te'
+                    # X_te)R and Tt'Y_te = R'(X_te'Y_te), so the CV needs no
+                    # [ln, A] score matrix either
+                    def pass_grams(carry, xs):
+                        g, fresh, mb, pb = block_rows(*xs)
+                        zb = (mb - mean) / sd
+                        zpb = (pb - pmean) / psd
+                        tr = ((g < n_train) & fresh).astype(
+                            self.dtype
+                        )[:, None]
+                        te = (
+                            (g >= n_train) & (g < n_true) & fresh
+                        ).astype(self.dtype)[:, None]
+                        xm_b = zb * tr
+                        xt_b = zb * te
+                        xtx_a, xty_a, xtx_t, xty_t, yty_a = carry
+                        return (
+                            xtx_a + xm_b.T @ xm_b,
+                            xty_a + xm_b.T @ (zpb * tr),
+                            xtx_t + xt_b.T @ xt_b,
+                            xty_t + xt_b.T @ (zpb * te),
+                            yty_a + jnp.sum(zpb * zpb * te, axis=0),
+                        ), None
 
-                # ---- NEW_DATA CV on the test rows, via Grams ----
-                # PRESS[a,j] = sum_i test_i (y_ij - sum_{c<=a} T_ic Q_jc)^2
-                # expands to diag(Y'Y) - 2 prefix_c(Q.T * T'Y)
-                #           + prefix2d_cc'(T'T * Q_jc Q_jc'), all on the tiny
-                # test-set Grams - no [N, A, p] residual tensors ever touch
-                # HBM (they dominated this step's bandwidth at 1M particles).
-                T_l = zmet_l @ R                                  # [ln, A]
-                test = vmask - train   # held-out rows, padding excluded
-                Tt = T_l * test
-                G = jax.lax.psum(Tt.T @ (zpar_l * test), AXIS)    # [A, p]
-                H = jax.lax.psum(Tt.T @ Tt, AXIS)                 # [A, A]
-                yty = jax.lax.psum(
-                    jnp.sum(zpar_l * zpar_l * test, axis=0), AXIS
-                )                                                 # [p]
+                    zmm = jnp.zeros((nmet, nmet), self.dtype)
+                    zmp = jnp.zeros((nmet, npar), self.dtype)
+                    (xtx, xty, xtx_te, xty_te, yty), _ = jax.lax.scan(
+                        pass_grams,
+                        (zmm, zmp, zmm, zmp, jnp.zeros((npar,), self.dtype)),
+                        (starts, fresh_lo),
+                    )
+                    xtx = jax.lax.psum(xtx, AXIS)
+                    xty = jax.lax.psum(xty, AXIS)
+                    xtx_te = jax.lax.psum(xtx_te, AXIS)
+                    xty_te = jax.lax.psum(xty_te, AXIS)
+                    yty = jax.lax.psum(yty, AXIS)
+                    R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
+                    G = R.T @ xty_te                              # [A, p]
+                    H = R.T @ xtx_te @ R                          # [A, A]
+                else:
+                    zpar_l = (params_l - pmean) / psd
+
+                    # ---- PLS fit on the training rows (Gram psums) ----
+                    train = (gidx < n_train).astype(self.dtype)[:, None]
+                    xm = zmet_l * train
+                    xtx = jax.lax.psum(xm.T @ xm, AXIS)
+                    xty = jax.lax.psum(xm.T @ (zpar_l * train), AXIS)
+                    R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
+
+                    # ---- NEW_DATA CV on the test rows, via Grams ----
+                    # PRESS[a,j] = sum_i test_i (y_ij - sum_{c<=a} T_ic Q_jc)^2
+                    # expands to diag(Y'Y) - 2 prefix_c(Q.T * T'Y)
+                    #           + prefix2d_cc'(T'T * Q_jc Q_jc'), all on the
+                    # tiny test-set Grams - no [N, A, p] residual tensors ever
+                    # touch HBM (they dominated this step's bandwidth at 1M
+                    # particles).
+                    T_l = zmet_l @ R                              # [ln, A]
+                    test = vmask - train  # held-out rows, padding excluded
+                    Tt = T_l * test
+                    G = jax.lax.psum(Tt.T @ (zpar_l * test), AXIS)  # [A, p]
+                    H = jax.lax.psum(Tt.T @ Tt, AXIS)               # [A, A]
+                    yty = jax.lax.psum(
+                        jnp.sum(zpar_l * zpar_l * test, axis=0), AXIS
+                    )                                               # [p]
                 QT = Q.T                                          # [A, p]
                 term2 = 2.0 * jnp.cumsum(G * QT, axis=0)
                 Z = H[:, :, None] * QT[:, None, :] * QT[None, :, :]
@@ -427,16 +555,32 @@ class ShardedGeneration:
                     # exact zeros to every sum
                     hi = jnp.clip(n_true - shard * local_n, 0, local_n)
                     start = jnp.maximum(hi - nsub, 0)
-                    t_s = jax.lax.dynamic_slice_in_dim(
-                        T_l, start, nsub, axis=0
-                    )                                             # [ns, A]
-                    zp_s = jax.lax.dynamic_slice_in_dim(
-                        zpar_l, start, nsub, axis=0
-                    )
-                    test_s = jax.lax.dynamic_slice_in_dim(
-                        test, start, nsub, axis=0
-                    )                                             # [ns, 1]
                     g_s = shard * local_n + start + jnp.arange(nsub)
+                    if use_chunked:
+                        # z-score + project just the window rows (no [ln, A]
+                        # or [ln, p] z-buffers exist in chunked mode)
+                        mb_s = jax.lax.dynamic_slice_in_dim(
+                            rank_mets_l, start, nsub, axis=0
+                        )
+                        t_s = ((mb_s - mean) / sd) @ R            # [ns, A]
+                        zp_s = (
+                            jax.lax.dynamic_slice_in_dim(
+                                params_l, start, nsub, axis=0
+                            ) - pmean
+                        ) / psd
+                        test_s = (
+                            (g_s >= n_train) & (g_s < n_true)
+                        ).astype(self.dtype)[:, None]             # [ns, 1]
+                    else:
+                        t_s = jax.lax.dynamic_slice_in_dim(
+                            T_l, start, nsub, axis=0
+                        )                                         # [ns, A]
+                        zp_s = jax.lax.dynamic_slice_in_dim(
+                            zpar_l, start, nsub, axis=0
+                        )
+                        test_s = jax.lax.dynamic_slice_in_dim(
+                            test, start, nsub, axis=0
+                        )                                         # [ns, 1]
                     # signs are a pure function of (key, permutation, GLOBAL
                     # row index): the selection is layout-invariant and, when
                     # the cap is not binding, EQUALS the host rule
@@ -509,15 +653,48 @@ class ShardedGeneration:
                 col_mask = (
                     jnp.arange(max_comp) < ncomp_used
                 ).astype(self.dtype)[None, :]
-                R_used = R * col_mask
 
-                scores_l = T_l * col_mask      # reuse: T_l == zmet_l @ R
                 obs_scores = (obs_z @ R) * col_mask[0]
-                diff = scores_l - obs_scores[None, :]
-                d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+                if use_chunked:
+                    def pass_dist(d_acc, xs):
+                        _, _, mb, _ = block_rows(*xs)
+                        tb = (((mb - mean) / sd) @ R) * col_mask
+                        db = jnp.sqrt(jnp.sum(
+                            (tb - obs_scores[None, :]) ** 2, axis=1
+                        ))
+                        # overlap rows recompute identical values, so the
+                        # double write is idempotent
+                        return jax.lax.dynamic_update_slice(
+                            d_acc, db, (xs[0],)
+                        ), None
+
+                    d_l, _ = jax.lax.scan(
+                        pass_dist, jnp.zeros((local_n,), self.dtype),
+                        (starts, fresh_lo),
+                    )
+                else:
+                    scores_l = T_l * col_mask  # reuse: T_l == zmet_l @ R
+                    diff = scores_l - obs_scores[None, :]
+                    d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
             else:
-                diff = zmet_l - obs_z[None, :]
-                d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+                if use_chunked:
+                    def pass_dist_simple(d_acc, xs):
+                        _, _, mb, _ = block_rows(*xs)
+                        zb = (mb - mean) / sd
+                        db = jnp.sqrt(jnp.sum(
+                            (zb - obs_z[None, :]) ** 2, axis=1
+                        ))
+                        return jax.lax.dynamic_update_slice(
+                            d_acc, db, (xs[0],)
+                        ), None
+
+                    d_l, _ = jax.lax.scan(
+                        pass_dist_simple, jnp.zeros((local_n,), self.dtype),
+                        (starts, fresh_lo),
+                    )
+                else:
+                    diff = zmet_l - obs_z[None, :]
+                    d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
                 ncomp_used = jnp.int32(0)
             # padding rows rank last, so they can never enter the top-K
             d_l = jnp.where(gidx < n_true, d_l, jnp.asarray(jnp.inf, self.dtype))

@@ -105,6 +105,20 @@ def test_projection_iteration_conflicts():
     assert ei.value.code == -201
 
 
+def test_row_block_parse_and_validation():
+    base = json.load(open(REFERENCE_JSON))
+    assert parse_config(dict(base)).row_block is None
+    cfg = dict(base)
+    cfg["row_block"] = 4096
+    assert parse_config(cfg).row_block == 4096
+    cfg["row_block"] = 0
+    assert parse_config(cfg).row_block == 0
+    for bad in (-1, 2.5, "lots"):
+        cfg["row_block"] = bad
+        with pytest.raises(ConfigError):
+            parse_config(cfg)
+
+
 def test_unknown_types_rejected_with_codes():
     base = json.load(open(REFERENCE_JSON))
     cfg = json.loads(json.dumps(base))

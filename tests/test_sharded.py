@@ -489,6 +489,54 @@ def test_sharded_vdv_f32_matches_f64():
         assert ncomp_for(jnp.float32, cap) == ncomp_for(jnp.float64, cap)
 
 
+def test_chunked_row_passes_match_resident_path():
+    """Big-N mode: with ``row_block`` forced, every O(N)-row pass (moments,
+    PLS Grams, vdv window, distances) streams through scan blocks with
+    O(block) temporaries instead of materializing [ln, M] z-scores and
+    [ln, A] scores. The algebra is identical, so survivors, distances,
+    selection, weights and the proposed next generation must match the
+    resident path - including when the block does not divide the shard
+    slice (the shifted last block overlaps; overlap rows must not be
+    double-counted). Exercised for both PLS/vdv and SIMPLE filters."""
+    from abcsmc_tpu.config import FilterType
+
+    n = 1000   # ln = 125 on 8 devices; block 32 -> overlapping last block
+    cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
+    par_set = ParameterSet.from_specs(cfg.parameters)
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(1)
+    prev = (
+        jnp.asarray(rng.uniform(0.2, 0.8, (40, 6))),
+        jnp.full((40,), 1.0 / 40),
+        jnp.full((6,), 0.01),
+    )
+    for ft in (FilterType.PLS, FilterType.SIMPLE):
+        res = {}
+        for rb in (0, 32):
+            gen = ShardedGeneration(
+                par_set, ParameterTransform(cfg.parameters), sim, obs,
+                mesh=particle_mesh(jax.devices()),
+                pls_optimal_method="vdv", vdv_permutations=99,
+                dtype=jnp.float64, row_block=rb, filter_type=ft,
+            )
+            res[rb] = gen.step_precomputed(key, params, mets, 64, 128, prev)
+        a, b = res[0], res[32]
+        assert int(a.ncomp_used) == int(b.ncomp_used)
+        np.testing.assert_array_equal(
+            np.asarray(a.survivor_idx), np.asarray(b.survivor_idx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.distances), np.asarray(b.distances),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.weights), np.asarray(b.weights), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.next_params), np.asarray(b.next_params), rtol=1e-9
+        )
+
+
 def test_run_scan_matches_sequential_run():
     """run_scan (all generations inside ONE jitted lax.scan program) must
     reproduce the sequential step-by-step run() exactly - same key chain,
