@@ -47,7 +47,7 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    are"
   ``row_block``    device-path row chunking for very large populations:
                    unset = auto (O(N)-row passes stream through scan blocks
-                   once a shard holds >= 2^23 rows, keeping the [N, M]
+                   once a shard holds >= 2^25 rows, keeping the [N, M]
                    z-score and [N, A] score buffers out of HBM), an int > 0
                    forces that block size, 0 disables
 """

@@ -63,7 +63,7 @@ class ShardedGeneration:
     survivor count K, next size N2) are static arguments of the compiled step
     (a handful of distinct shapes per run -> a handful of compilations).
 
-    HBM note for very large N: above ``row_block`` auto-threshold (2^23 rows
+    HBM note for very large N: above ``row_block`` auto-threshold (2^25 rows
     per shard) the O(N)-row passes (moments, PLS Grams, distances) stream
     through lax.scan blocks, so no [ln, M] z-score buffer or [ln, A] score
     matrix is ever resident - only the raw metric matrix and the [ln]
@@ -284,7 +284,12 @@ class ShardedGeneration:
         # path (its lambda-grid scans want whole columns); algebra is
         # otherwise identical, so results match to reduction-order rounding.
         if self.row_block is None:
-            use_chunked = local_n >= (1 << 23) and not use_box_cox
+            # resident intermediates cost ~200 B/row at M = 13 (z-scores,
+            # scores, masked temps); 2^25 rows/shard ~ 6.7 GB - the point
+            # where a 16 GB chip actually needs streaming. Below it the
+            # resident path's single big matmuls are the measured-fast
+            # choice (docs/BENCH_EXTRA_TPU.md 10M/20M rows)
+            use_chunked = local_n >= (1 << 25) and not use_box_cox
             row_bs = 1 << 21
         elif self.row_block > 0:
             use_chunked = not use_box_cox

@@ -500,17 +500,22 @@ def test_chunked_row_passes_match_resident_path():
     double-counted). Exercised for both PLS/vdv and SIMPLE filters."""
     from abcsmc_tpu.config import FilterType
 
-    n = 1000   # ln = 125 on 8 devices; block 32 -> overlapping last block
-    cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
-    par_set = ParameterSet.from_specs(cfg.parameters)
-    key = jax.random.PRNGKey(3)
-    rng = np.random.default_rng(1)
-    prev = (
-        jnp.asarray(rng.uniform(0.2, 0.8, (40, 6))),
-        jnp.full((40,), 1.0 / 40),
-        jnp.full((6,), 0.01),
-    )
-    for ft in (FilterType.PLS, FilterType.SIMPLE):
+    # n=1000: ln = 125 on 8 devices, block 32 -> overlapping last block;
+    # n=900: pads to 904 (ln = 113) -> overlap AND masked padding rows
+    for n, ft in (
+        (1000, FilterType.PLS),
+        (1000, FilterType.SIMPLE),
+        (900, FilterType.PLS),
+    ):
+        cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
+        par_set = ParameterSet.from_specs(cfg.parameters)
+        key = jax.random.PRNGKey(3)
+        rng = np.random.default_rng(1)
+        prev = (
+            jnp.asarray(rng.uniform(0.2, 0.8, (40, 6))),
+            jnp.full((40,), 1.0 / 40),
+            jnp.full((6,), 0.01),
+        )
         res = {}
         for rb in (0, 32):
             gen = ShardedGeneration(
