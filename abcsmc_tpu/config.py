@@ -49,7 +49,9 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    unset = auto (O(N)-row passes stream through scan blocks
                    once a shard holds >= 2^25 rows, keeping the [N, M]
                    z-score and [N, A] score buffers out of HBM), an int > 0
-                   forces that block size, 0 disables
+                   forces that block size, 0 disables. Ignored (with a
+                   RuntimeWarning) when ``box_cox`` is enabled - the
+                   lambda search runs on whole resident columns
 """
 
 from __future__ import annotations
@@ -552,7 +554,14 @@ def _parse_row_block(par: dict):
         rb_int = int(rb)
     except (TypeError, ValueError):
         rb_int = -1
-    if rb_int < 0 or (not isinstance(rb, (int, float)) or rb_int != rb):
+    # bool is an int subclass: "row_block": true would otherwise silently
+    # parse as block size 1 (a pathological one-row-per-scan-step program)
+    if (
+        rb_int < 0
+        or isinstance(rb, bool)
+        or not isinstance(rb, (int, float))
+        or rb_int != rb
+    ):
         raise ConfigError(
             f"row_block must be a non-negative integer, got {rb!r}", code=1
         )

@@ -129,6 +129,16 @@ class ShardedGeneration:
         # enough that the [ln, M] / [ln, A] intermediates threaten HBM);
         # an int > 0 forces that block size; 0 disables chunking
         self.row_block = None if row_block is None else int(row_block)
+        if self.row_block and self.box_cox and filter_type == FilterType.PLS:
+            import warnings
+
+            warnings.warn(
+                "row_block is ignored when box_cox is enabled (the Box-Cox "
+                "lambda search runs on whole resident columns); very large "
+                "box_cox populations keep the resident-path HBM footprint",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -412,20 +422,29 @@ class ShardedGeneration:
                     g, fresh, mb, pb = block_rows(*xs)
                     vm = ((g < n_true) & fresh).astype(self.dtype)[:, None]
                     mv_b = mb * vm
+                    a1, a2 = carry[0] + jnp.sum(mv_b, axis=0), (
+                        carry[1] + jnp.sum(mv_b * mb, axis=0)
+                    )
+                    if not use_pls:
+                        # SIMPLE filter never consumes parameter moments -
+                        # keep the dead reads structurally absent
+                        return (a1, a2), None
                     pv_b = pb * vm
-                    a1, a2, b1, b2 = carry
                     return (
-                        a1 + jnp.sum(mv_b, axis=0),
-                        a2 + jnp.sum(mv_b * mb, axis=0),
-                        b1 + jnp.sum(pv_b, axis=0),
-                        b2 + jnp.sum(pv_b * pb, axis=0),
+                        a1, a2,
+                        carry[2] + jnp.sum(pv_b, axis=0),
+                        carry[3] + jnp.sum(pv_b * pb, axis=0),
                     ), None
 
                 zm = jnp.zeros((nmet,), self.dtype)
                 zp0 = jnp.zeros((npar,), self.dtype)
-                (s1, s2, p1, p2), _ = jax.lax.scan(
-                    pass_moments, (zm, zm, zp0, zp0), (starts, fresh_lo)
+                carry0 = (zm, zm, zp0, zp0) if use_pls else (zm, zm)
+                acc, _ = jax.lax.scan(
+                    pass_moments, carry0, (starts, fresh_lo)
                 )
+                s1, s2 = acc[0], acc[1]
+                if use_pls:
+                    p1, p2 = acc[2], acc[3]
                 s1 = jax.lax.psum(s1, AXIS)
                 s2 = jax.lax.psum(s2, AXIS)
             else:

@@ -113,7 +113,8 @@ def test_row_block_parse_and_validation():
     assert parse_config(cfg).row_block == 4096
     cfg["row_block"] = 0
     assert parse_config(cfg).row_block == 0
-    for bad in (-1, 2.5, "lots"):
+    # bool is an int subclass: "row_block": true must not parse as size 1
+    for bad in (-1, 2.5, "lots", True, False):
         cfg["row_block"] = bad
         with pytest.raises(ConfigError):
             parse_config(cfg)
