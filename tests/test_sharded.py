@@ -551,6 +551,29 @@ def test_chunked_row_passes_match_resident_path():
         )
 
 
+def test_run_scan_chunked_matches_resident():
+    """The chunked row passes are inner lax.scans; run_scan nests them
+    inside its outer generation scan. The nested program must compile and
+    reproduce the resident run_scan exactly."""
+    g_res = make_gen(dtype=jnp.float64)
+    g_chk = make_gen(dtype=jnp.float64)
+    g_chk.row_block = 16
+    n, keep, gens = 64, 16, 4
+    key = jax.random.PRNGKey(11)
+    r1, h1 = g_res.run_scan(key, n, keep, gens)
+    r2, h2 = g_chk.run_scan(key, n, keep, gens)
+    np.testing.assert_array_equal(
+        np.asarray(r1.survivor_idx), np.asarray(r2.survivor_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.weights), np.asarray(r2.weights), rtol=1e-10
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(h1), jax.tree_util.tree_leaves(h2)
+    ):
+        assert a.shape == b.shape
+
+
 def test_row_block_ignored_with_box_cox_warns():
     """Forcing row_block alongside box_cox falls back to the resident path
     (the lambda search runs on whole columns); that must be loud, not
