@@ -49,9 +49,7 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    unset = auto (O(N)-row passes stream through scan blocks
                    once a shard holds >= 2^25 rows, keeping the [N, M]
                    z-score and [N, A] score buffers out of HBM), an int > 0
-                   forces that block size, 0 disables. Ignored (with a
-                   RuntimeWarning) when ``box_cox`` is enabled - the
-                   lambda search runs on whole resident columns
+                   forces that block size, 0 disables
 """
 
 from __future__ import annotations

@@ -70,8 +70,9 @@ class ShardedGeneration:
     distance vector. That keeps natural-A populations up to ~1e8 rows on a
     single 16 GB chip (previously RESOURCE_EXHAUSTED without
     ``max_pls_components``; docs/BENCH_EXTRA_TPU.md). ``row_block``: None =
-    auto, int > 0 forces that block size (any N), 0 disables. Box-Cox runs
-    keep the resident path.
+    auto, int > 0 forces that block size (any N), 0 disables. Box-Cox,
+    when enabled, is applied per block on the fly (blocked lambda-grid
+    moment passes; no transformed buffer is resident either).
     """
 
     def __init__(
@@ -129,16 +130,6 @@ class ShardedGeneration:
         # enough that the [ln, M] / [ln, A] intermediates threaten HBM);
         # an int > 0 forces that block size; 0 disables chunking
         self.row_block = None if row_block is None else int(row_block)
-        if self.row_block and self.box_cox and filter_type == FilterType.PLS:
-            import warnings
-
-            warnings.warn(
-                "row_block is ignored when box_cox is enabled (the Box-Cox "
-                "lambda search runs on whole resident columns); very large "
-                "box_cox populations keep the resident-path HBM footprint",
-                RuntimeWarning,
-                stacklevel=2,
-            )
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -290,19 +281,19 @@ class ShardedGeneration:
         # natural-A, docs/BENCH_EXTRA_TPU.md). Chunked mode streams every
         # O(N)-row pass (moments, Grams, distances) through lax.scan blocks
         # with O(row_bs) temporaries: only the raw metric matrix and the
-        # [ln] distance vector stay resident. Box-Cox keeps the resident
-        # path (its lambda-grid scans want whole columns); algebra is
-        # otherwise identical, so results match to reduction-order rounding.
+        # [ln] distance vector stay resident (Box-Cox, when enabled, is
+        # applied per block on the fly). The algebra is identical, so
+        # results match to reduction-order rounding.
         if self.row_block is None:
             # resident intermediates cost ~200 B/row at M = 13 (z-scores,
             # scores, masked temps); 2^25 rows/shard ~ 6.7 GB - the point
             # where a 16 GB chip actually needs streaming. Below it the
             # resident path's single big matmuls are the measured-fast
             # choice (docs/BENCH_EXTRA_TPU.md 10M/20M rows)
-            use_chunked = local_n >= (1 << 25) and not use_box_cox
+            use_chunked = local_n >= (1 << 25)
             row_bs = 1 << 21
         elif self.row_block > 0:
-            use_chunked = not use_box_cox
+            use_chunked = True
             row_bs = self.row_block
         else:
             use_chunked = False
@@ -330,67 +321,6 @@ class ShardedGeneration:
             # statistic; they only exist to square the buffer over the mesh
             vmask = (gidx < n_true).astype(self.dtype)[:, None]   # [ln, 1]
 
-            if use_box_cox:
-                # ---- Box-Cox each metric column + observed row, on device
-                # (host rule: ranking.apply_box_cox / stats.optimize_box_cox;
-                # the reference left this as a TODO, src/AbcUtil.cpp:430).
-                # Shift to positivity by the GLOBAL column min (incl. obs),
-                # then pick each column's lambda by |skewness| over the fixed
-                # grid. Moments are two-pass central psums - raw third
-                # moments cancel catastrophically at f32.
-                lam_grid = jnp.asarray(bc_lambdas, self.dtype)     # [L]
-                vinf = jnp.where(
-                    vmask > 0, mets_l, jnp.asarray(jnp.inf, self.dtype)
-                )
-                col_min = jax.lax.pmin(jnp.min(vinf, axis=0), AXIS)
-                col_min = jnp.minimum(col_min, obs)
-                shift = jnp.where(col_min <= 0, 1e-6 - col_min, 0.0)
-                # padding rows are real draws NOT bounded by the valid-row
-                # min; left unclamped, log/pow of their (possibly <= 0)
-                # shifted values would produce NaN, and 0 * NaN = NaN would
-                # poison the masked moment sums
-                v_l = jnp.where(vmask > 0, mets_l + shift[None, :], 1.0)
-
-                def bc(v, lam):
-                    lam_safe = jnp.where(lam == 0, 1.0, lam)
-                    return jnp.where(
-                        lam == 0, jnp.log(v),
-                        (jnp.power(v, lam) - 1.0) / lam_safe,
-                    )
-
-                def bc_pass1(_, lam):
-                    return None, jnp.sum(bc(v_l, lam) * vmask, axis=0)
-
-                _, bs1 = jax.lax.scan(bc_pass1, None, lam_grid)    # [L, M]
-                bc_mean = jax.lax.psum(bs1, AXIS) / n_true
-
-                def bc_pass2(_, xs):
-                    lam, mu = xs
-                    d = (bc(v_l, lam) - mu[None, :]) * vmask
-                    return None, (
-                        jnp.sum(d * d, axis=0), jnp.sum(d * d * d, axis=0)
-                    )
-
-                _, (bs2, bs3) = jax.lax.scan(
-                    bc_pass2, None, (lam_grid, bc_mean)
-                )
-                bvar = jax.lax.psum(bs2, AXIS) / (n_true - 1)
-                bthird = jax.lax.psum(bs3, AXIS) / n_true
-                skew = jnp.where(
-                    bvar == 0, 0.0, bthird / jnp.power(bvar, 1.5)
-                )
-                # extreme lambdas can overflow the f32 moments to inf/NaN;
-                # argmin treats NaN as minimal, so disqualify them explicitly
-                askew = jnp.where(
-                    jnp.isfinite(skew), jnp.abs(skew), jnp.inf
-                )
-                lam_c = lam_grid[jnp.argmin(askew, axis=0)]          # [M]
-                rank_mets_l = bc(v_l, lam_c[None, :])
-                obs_eff = bc(obs + shift, lam_c)
-            else:
-                rank_mets_l = mets_l
-                obs_eff = obs
-
             if use_chunked:
                 # block starts: the last block is shifted back when row_bs
                 # does not divide local_n, so blocks can overlap; `fresh`
@@ -406,17 +336,163 @@ class ShardedGeneration:
                     np.arange(n_blocks) * row_bs, jnp.int32
                 )
 
-                def block_rows(start, flo):
+                def raw_rows(start, flo):
                     lidx = start + jnp.arange(row_bs, dtype=jnp.int32)
                     g = shard * local_n + lidx
                     fresh = lidx >= flo
                     mb = jax.lax.dynamic_slice_in_dim(
-                        rank_mets_l, start, row_bs, 0
+                        mets_l, start, row_bs, 0
                     )
                     pb = jax.lax.dynamic_slice_in_dim(
                         params_l, start, row_bs, 0
                     )
                     return g, fresh, mb, pb
+
+            if use_box_cox:
+                # ---- Box-Cox each metric column + observed row, on device
+                # (host rule: ranking.apply_box_cox / stats.optimize_box_cox;
+                # the reference left this as a TODO, src/AbcUtil.cpp:430).
+                # Shift to positivity by the GLOBAL column min (incl. obs),
+                # then pick each column's lambda by |skewness| over the fixed
+                # grid. Moments are two-pass central psums - raw third
+                # moments cancel catastrophically at f32.
+                lam_grid = jnp.asarray(bc_lambdas, self.dtype)     # [L]
+
+                def bc(v, lam):
+                    lam_safe = jnp.where(lam == 0, 1.0, lam)
+                    return jnp.where(
+                        lam == 0, jnp.log(v),
+                        (jnp.power(v, lam) - 1.0) / lam_safe,
+                    )
+
+                if use_chunked:
+                    # blocked variants of the same three passes; overlap rows
+                    # are harmless in a min and `fresh`-masked in the sums
+                    def pass_min(carry, xs):
+                        g, _, mb, _ = raw_rows(*xs)
+                        vinf_b = jnp.where(
+                            (g < n_true)[:, None], mb,
+                            jnp.asarray(jnp.inf, self.dtype),
+                        )
+                        return jnp.minimum(
+                            carry, jnp.min(vinf_b, axis=0)
+                        ), None
+
+                    cmin, _ = jax.lax.scan(
+                        pass_min,
+                        jnp.full((nmet,), jnp.inf, self.dtype),
+                        (starts, fresh_lo),
+                    )
+                    col_min = jax.lax.pmin(cmin, AXIS)
+                else:
+                    vinf = jnp.where(
+                        vmask > 0, mets_l, jnp.asarray(jnp.inf, self.dtype)
+                    )
+                    col_min = jax.lax.pmin(jnp.min(vinf, axis=0), AXIS)
+                col_min = jnp.minimum(col_min, obs)
+                shift = jnp.where(col_min <= 0, 1e-6 - col_min, 0.0)
+
+                if use_chunked:
+                    # padding rows are real draws NOT bounded by the
+                    # valid-row min; left unclamped, log/pow of their
+                    # (possibly <= 0) shifted values would produce NaN, and
+                    # 0 * NaN = NaN would poison the masked moment sums
+                    def shifted(g, mb):
+                        return jnp.where(
+                            (g < n_true)[:, None], mb + shift[None, :], 1.0
+                        )
+
+                    nlam = len(bc_lambdas)
+                    zl = jnp.zeros((nlam, nmet), self.dtype)
+
+                    def pass_bc1(carry, xs):
+                        g, fresh, mb, _ = raw_rows(*xs)
+                        vmf = (
+                            (g < n_true) & fresh
+                        ).astype(self.dtype)[:, None]
+                        v_b = shifted(g, mb)
+
+                        def inner(_, lam):
+                            return None, jnp.sum(bc(v_b, lam) * vmf, axis=0)
+
+                        _, sums = jax.lax.scan(inner, None, lam_grid)
+                        return carry + sums, None
+
+                    bs1, _ = jax.lax.scan(pass_bc1, zl, (starts, fresh_lo))
+                    bc_mean = jax.lax.psum(bs1, AXIS) / n_true
+
+                    def pass_bc2(carry, xs):
+                        g, fresh, mb, _ = raw_rows(*xs)
+                        vmf = (
+                            (g < n_true) & fresh
+                        ).astype(self.dtype)[:, None]
+                        v_b = shifted(g, mb)
+
+                        def inner(_, lm):
+                            lam, mu = lm
+                            d = (bc(v_b, lam) - mu[None, :]) * vmf
+                            return None, (
+                                jnp.sum(d * d, axis=0),
+                                jnp.sum(d * d * d, axis=0),
+                            )
+
+                        _, (i2, i3) = jax.lax.scan(
+                            inner, None, (lam_grid, bc_mean)
+                        )
+                        return (carry[0] + i2, carry[1] + i3), None
+
+                    (bs2, bs3), _ = jax.lax.scan(
+                        pass_bc2, (zl, zl), (starts, fresh_lo)
+                    )
+                else:
+                    v_l = jnp.where(vmask > 0, mets_l + shift[None, :], 1.0)
+
+                    def bc_pass1(_, lam):
+                        return None, jnp.sum(bc(v_l, lam) * vmask, axis=0)
+
+                    _, bs1 = jax.lax.scan(bc_pass1, None, lam_grid)  # [L, M]
+                    bc_mean = jax.lax.psum(bs1, AXIS) / n_true
+
+                    def bc_pass2(_, xs):
+                        lam, mu = xs
+                        d = (bc(v_l, lam) - mu[None, :]) * vmask
+                        return None, (
+                            jnp.sum(d * d, axis=0),
+                            jnp.sum(d * d * d, axis=0),
+                        )
+
+                    _, (bs2, bs3) = jax.lax.scan(
+                        bc_pass2, None, (lam_grid, bc_mean)
+                    )
+                bvar = jax.lax.psum(bs2, AXIS) / (n_true - 1)
+                bthird = jax.lax.psum(bs3, AXIS) / n_true
+                skew = jnp.where(
+                    bvar == 0, 0.0, bthird / jnp.power(bvar, 1.5)
+                )
+                # extreme lambdas can overflow the f32 moments to inf/NaN;
+                # argmin treats NaN as minimal, so disqualify them explicitly
+                askew = jnp.where(
+                    jnp.isfinite(skew), jnp.abs(skew), jnp.inf
+                )
+                lam_c = lam_grid[jnp.argmin(askew, axis=0)]          # [M]
+                if not use_chunked:
+                    rank_mets_l = bc(v_l, lam_c[None, :])
+                obs_eff = bc(obs + shift, lam_c)
+            else:
+                rank_mets_l = mets_l
+                obs_eff = obs
+
+            if use_chunked:
+                def rank_rows(g, mb):
+                    """Ranking-space metric block: Box-Cox applied on the
+                    fly (no [ln, M] transformed buffer is ever resident)."""
+                    if use_box_cox:
+                        return bc(shifted(g, mb), lam_c[None, :])
+                    return mb
+
+                def block_rows(start, flo):
+                    g, fresh, mb, pb = raw_rows(start, flo)
+                    return g, fresh, rank_rows(g, mb), pb
 
                 def pass_moments(carry, xs):
                     g, fresh, mb, pb = block_rows(*xs)
@@ -583,8 +659,11 @@ class ShardedGeneration:
                     if use_chunked:
                         # z-score + project just the window rows (no [ln, A]
                         # or [ln, p] z-buffers exist in chunked mode)
-                        mb_s = jax.lax.dynamic_slice_in_dim(
-                            rank_mets_l, start, nsub, axis=0
+                        mb_s = rank_rows(
+                            g_s,
+                            jax.lax.dynamic_slice_in_dim(
+                                mets_l, start, nsub, axis=0
+                            ),
                         )
                         t_s = ((mb_s - mean) / sd) @ R            # [ns, A]
                         zp_s = (

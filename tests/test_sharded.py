@@ -574,32 +574,46 @@ def test_run_scan_chunked_matches_resident():
         assert a.shape == b.shape
 
 
-def test_row_block_ignored_with_box_cox_warns():
-    """Forcing row_block alongside box_cox falls back to the resident path
-    (the lambda search runs on whole columns); that must be loud, not
-    silent - a user chunking to dodge RESOURCE_EXHAUSTED would OOM anyway."""
-    import warnings
-
-    n = 64
+def test_chunked_box_cox_matches_resident():
+    """Box-Cox composes with the chunked row passes: blocked column-min +
+    lambda-grid moment passes, then the chosen transform applied per block
+    on the fly (vdv window and distances included). Must reproduce the
+    resident box-cox path exactly - same lambda selection, survivors,
+    distances, weights - including a padded, non-dividing-block shape."""
+    n = 900   # pads to 904 on 8 devices (ln = 113); block 32 overlaps
     cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
+    # strictly positive, skewed metrics so the transform has work to do
+    mets = jnp.exp(mets * 0.5)
+    obs = np.exp(obs * 0.5)
     par_set = ParameterSet.from_specs(cfg.parameters)
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(1)
+    prev = (
+        jnp.asarray(rng.uniform(0.2, 0.8, (40, 6))),
+        jnp.full((40,), 1.0 / 40),
+        jnp.full((6,), 0.01),
+    )
+    res = {}
+    for rb in (0, 32):
         gen = ShardedGeneration(
             par_set, ParameterTransform(cfg.parameters), sim, obs,
             mesh=particle_mesh(jax.devices()),
-            dtype=jnp.float64, row_block=16, box_cox=True,
+            pls_optimal_method="vdv", vdv_permutations=99,
+            dtype=jnp.float64, row_block=rb, box_cox=True,
         )
-    assert any(
-        issubclass(w.category, RuntimeWarning)
-        and "row_block is ignored" in str(w.message)
-        for w in rec
+        res[rb] = gen.step_precomputed(key, params, mets, 64, 128, prev)
+    a, b = res[0], res[32]
+    assert int(a.ncomp_used) == int(b.ncomp_used)
+    np.testing.assert_array_equal(
+        np.asarray(a.survivor_idx), np.asarray(b.survivor_idx)
     )
-    # and the resident box-cox path still runs
-    res = gen.step_precomputed(
-        jax.random.PRNGKey(0), params, jnp.abs(mets) + 0.1, 16, 0, None
+    np.testing.assert_allclose(
+        np.asarray(a.distances), np.asarray(b.distances),
+        rtol=1e-12, atol=1e-12,
     )
-    assert np.isfinite(np.asarray(res.weights)).all()
+    np.testing.assert_allclose(
+        np.asarray(a.weights), np.asarray(b.weights), rtol=1e-10
+    )
 
 
 def test_run_scan_matches_sequential_run():
