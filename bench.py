@@ -47,7 +47,7 @@ def _probe_once(timeout_s: float) -> bool:
         return False
 
 
-def _accelerator_reachable(total_budget_s: float = 420.0) -> bool:
+def _accelerator_reachable(total_budget_s: float = 600.0) -> bool:
     """Probe the accelerator in a subprocess: a wedged PJRT tunnel hangs
     jax.devices() forever, which would swallow the benchmark. Wedged tunnel
     sessions recover after a server-side timeout, so retry with backoff
@@ -58,7 +58,10 @@ def _accelerator_reachable(total_budget_s: float = 420.0) -> bool:
         os.environ.get("ABCSMC_BENCH_PROBE_BUDGET", total_budget_s)
     )
     deadline = time.time() + total_budget_s
-    attempt_timeout = 120.0
+    # cold/recovering tunnel handshakes have been observed to take >120 s;
+    # killing a probe mid-handshake can also re-wedge the session, so start
+    # patient rather than fast
+    attempt_timeout = 180.0
     attempt = 0
     while True:
         attempt += 1
