@@ -67,6 +67,23 @@ def test_run_device_converges_like_host():
     assert abs(pars[:, 1].mean() - 8.4) < 6
 
 
+def test_run_device_row_block_config_matches_default():
+    """`row_block` flows config -> engine -> ShardedGeneration; a forced
+    tiny block must reproduce the default (resident) device run exactly."""
+    cfg = dice_cfg(n=64)
+    abc_a = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                   storage=MemoryStorage())
+    abc_a.run_device(seed=23)
+    abc_b = AbcSmc(dict(cfg, row_block=4),
+                   simulator=make_dice_simulator(max_dice=50),
+                   storage=MemoryStorage())
+    abc_b.run_device(seed=23)
+    p1, w1 = abc_a.posterior()
+    p2, w2 = abc_b.posterior()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(w1, w2, rtol=1e-12)
+
+
 def test_run_device_scan_path_matches_sequential_loop():
     """Fresh constant-shape runs take the one-program run_scan fast path;
     forcing the sequential per-set loop (via an NRMSE tolerance too small to
