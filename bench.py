@@ -68,7 +68,10 @@ def _accelerator_reachable(total_budget_s: float = 600.0) -> bool:
         budget_left = deadline - time.time()
         if budget_left <= 5 and attempt > 1:
             return False
-        if _probe_once(max(attempt_timeout, min(60.0, budget_left))):
+        # cap each attempt by the remaining budget (with a 60 s floor so a
+        # nearly-spent budget still allows one patient handshake) so the
+        # total probe time honors ABCSMC_BENCH_PROBE_BUDGET
+        if _probe_once(min(attempt_timeout, max(60.0, budget_left))):
             return True
         sys.stderr.write(
             f"bench: accelerator probe attempt {attempt} failed; "

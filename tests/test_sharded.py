@@ -574,17 +574,22 @@ def test_run_scan_chunked_matches_resident():
         assert a.shape == b.shape
 
 
-def test_chunked_box_cox_matches_resident():
+@pytest.mark.parametrize("offset", [0.0, 2.0])
+def test_chunked_box_cox_matches_resident(offset):
     """Box-Cox composes with the chunked row passes: blocked column-min +
     lambda-grid moment passes, then the chosen transform applied per block
     on the fly (vdv window and distances included). Must reproduce the
     resident box-cox path exactly - same lambda selection, survivors,
-    distances, weights - including a padded, non-dividing-block shape."""
+    distances, weights - including a padded, non-dividing-block shape.
+
+    offset=0: strictly positive metrics (column shift is exactly 0).
+    offset=2: nonpositive metric columns, exercising the blocked
+    column-min pass and the shift/clamp logic (shift > 0 branch)."""
     n = 900   # pads to 904 on 8 devices (ln = 113); block 32 overlaps
     cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
     # strictly positive, skewed metrics so the transform has work to do
-    mets = jnp.exp(mets * 0.5)
-    obs = np.exp(obs * 0.5)
+    mets = jnp.exp(mets * 0.5) - offset
+    obs = np.exp(obs * 0.5) - offset
     par_set = ParameterSet.from_specs(cfg.parameters)
     key = jax.random.PRNGKey(3)
     rng = np.random.default_rng(1)

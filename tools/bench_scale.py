@@ -43,13 +43,15 @@ def sync(r):
 
 
 def timeit(f, *a, reps=3):
-    sync(f(*a))
+    """Returns (min seconds over reps, the warmup call's result)."""
+    warm = f(*a)
+    sync(warm)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         sync(f(*a))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts), warm
 
 
 def main():
@@ -123,11 +125,10 @@ def main():
            f" row_block={args.row_block} max_comp={args.max_comp}"
            f" {ndev} {jax.default_backend()} device(s)")
 
-    t = timeit(
+    t, res = timeit(
         lambda kk: gen.step_precomputed(kk, params, mets, keep, n, state),
         key, reps=args.reps,
     )
-    res = gen.step_precomputed(key, params, mets, keep, n, state)
     ncomp = int(np.asarray(jax.device_get(res.ncomp_used)))
     print(json.dumps({
         "metric": f"SMC generation steady state (sim excluded), {tag}",
@@ -136,8 +137,8 @@ def main():
     }), flush=True)
 
     if args.sim:
-        t = timeit(lambda kk: gen.step(kk, params, seeds, keep, n, state),
-                   key, reps=args.reps)
+        t, _ = timeit(lambda kk: gen.step(kk, params, seeds, keep, n, state),
+                      key, reps=args.reps)
         print(json.dumps({
             "metric": f"SMC generation steady state (sim included), {tag}",
             "value": round(t, 3), "unit": "s",
