@@ -713,6 +713,21 @@ class ShardedGeneration:
                     W = jnp.concatenate(
                         [jnp.ones((1, nsub), self.dtype), sgn], axis=0
                     )                                             # [K1, ns]
+                    # MISCOMPILE GUARD (empirical, v5e): when XLA:TPU fuses
+                    # the operand production (the 3-way-product reshapes +
+                    # concat above) into this HIGHEST-precision dot, the dot
+                    # reads wrong operand data - the observed row of U came
+                    # back NEGATIVE for the sum-of-squares section
+                    # (U0 = sum test*zp^2 >= 0 by construction), which drove
+                    # every p-value to 0 and silently collapsed ncomp to 1
+                    # at the 1M bench shape (ns = 131072; same program with
+                    # these intermediates returned as outputs, or with this
+                    # barrier, computes correctly - bisect in
+                    # docs/TPU_VALIDATION.md "fused-vdv miscompile guard").
+                    # The barrier pins W/rhs as materialized buffers so the
+                    # dot cannot fuse with their producers; it is an identity
+                    # on all backends.
+                    W, rhs = jax.lax.optimization_barrier((W, rhs))
                     U = jax.lax.psum(
                         jax.lax.dot(
                             W, rhs, precision=jax.lax.Precision.HIGHEST

@@ -170,9 +170,18 @@ def main():
     w = np.asarray(res.weights)
     ncomp = int(np.asarray(res.ncomp_used))
     assert np.all(np.isfinite(w)) and w.shape == (keep,)
-    # selection observability (VERDICT r2 #7): a silently degenerate vdv
-    # (ncomp collapsing to 1 at the cap-binding 1M shape) must be visible in
-    # the artifact - with structured metrics, ncomp_used > 1 is expected
+    # HARD miscompile guard: these metrics are rank-6 structure + noise, so a
+    # correct vdv keeps >> 1 component at a 131072-row held-out window. An
+    # XLA:TPU fusion bug was observed to corrupt the moment-expansion dot's
+    # operands in exactly this fused program (sum-of-squares sections came
+    # back negative), collapsing ncomp to 1 with NO other visible symptom -
+    # see the optimization_barrier in parallel/generation.py. Guard it here,
+    # on hardware, where CPU tests cannot.
+    assert ncomp > 1, (
+        f"fused-vdv selection degenerate on this backend: ncomp_used={ncomp} "
+        "(expected >1 on rank-6-structured metrics; the generation.py "
+        "moment-expansion miscompile guard may have regressed)"
+    )
     lines += [
         "",
         f"Fused generation (1M x 6 x 13, keep 50k, sim excluded, vdv): "
