@@ -703,44 +703,50 @@ class ShardedGeneration:
                     # p in the 128-lane minor dim).
                     tm = t_s * test_s                             # [ns, A]
                     zpm = zp_s * test_s                           # [ns, p]
-                    rhs = jnp.concatenate([
-                        zpm * zp_s,                               # [ns, p]
-                        (t_s[:, :, None] * zpm[:, None, :]
-                         ).reshape(nsub, max_comp * npar),        # [ns, A*p]
-                        (t_s[:, :, None] * tm[:, None, :]
-                         ).reshape(nsub, max_comp * max_comp),    # [ns, A*A]
-                    ], axis=1)
                     W = jnp.concatenate(
                         [jnp.ones((1, nsub), self.dtype), sgn], axis=0
                     )                                             # [K1, ns]
-                    # MISCOMPILE GUARD (empirical, v5e): when XLA:TPU fuses
-                    # the operand production (the 3-way-product reshapes +
-                    # concat above) into this HIGHEST-precision dot, the dot
-                    # reads wrong operand data - the observed row of U came
-                    # back NEGATIVE for the sum-of-squares section
-                    # (U0 = sum test*zp^2 >= 0 by construction), which drove
-                    # every p-value to 0 and silently collapsed ncomp to 1
-                    # at the 1M bench shape (ns = 131072; same program with
-                    # these intermediates returned as outputs, or with this
-                    # barrier, computes correctly - bisect in
-                    # docs/TPU_VALIDATION.md "fused-vdv miscompile guard").
-                    # The barrier pins W/rhs as materialized buffers so the
-                    # dot cannot fuse with their producers; it is an identity
-                    # on all backends.
-                    W, rhs = jax.lax.optimization_barrier((W, rhs))
-                    U = jax.lax.psum(
+                    # MISCOMPILE GUARD (empirical, v5e): these three
+                    # statistics were originally ONE dot over the
+                    # concatenated [ns, p+Ap+AA] right-hand side. When
+                    # XLA:TPU fused the operand production (the 3-way
+                    # product reshapes + concat) into that HIGHEST-precision
+                    # dot, the dot read wrong operand data - the observed
+                    # row of U came back NEGATIVE in its sum-of-squares
+                    # section (U0 = sum test*zp^2 >= 0 by construction),
+                    # driving every p-value to 0 and silently collapsing
+                    # ncomp to 1 at the 1M bench shape (ns = 131072; the
+                    # isolated dot, the CPU lowering, and the same program
+                    # with these intermediates as outputs all compute
+                    # correctly - bisect in docs/TPU_VALIDATION.md). Keeping
+                    # the three sections as SEPARATE dots avoids the faulty
+                    # fusion (an optimization_barrier on the fused operands
+                    # also fixed it, but forcing a 133 MB rhs buffer is
+                    # strictly worse than three un-concatenated dots).
+                    # tools/tpu_validate.py hard-asserts ncomp_used > 1 on
+                    # rank-structured 1M data on hardware.
+                    hk = dict(precision=jax.lax.Precision.HIGHEST)
+                    U0 = jax.lax.psum(
+                        jax.lax.dot(W, zpm * zp_s, **hk), AXIS
+                    )                                             # [K1, p]
+                    U1 = jax.lax.psum(
                         jax.lax.dot(
-                            W, rhs, precision=jax.lax.Precision.HIGHEST
+                            W,
+                            (t_s[:, :, None] * zpm[:, None, :]
+                             ).reshape(nsub, max_comp * npar),
+                            **hk,
                         ),
                         AXIS,
-                    )                                             # [K1, p+Ap+AA]
-                    U0 = U[:, :npar]                              # [K1, p]
-                    U1 = U[:, npar:npar + max_comp * npar].reshape(
-                        -1, max_comp, npar
-                    )                                             # [K1, A, p]
-                    U2 = U[:, npar + max_comp * npar:].reshape(
-                        -1, max_comp, max_comp
-                    )                                             # [K1, A, A]
+                    ).reshape(-1, max_comp, npar)                 # [K1, A, p]
+                    U2 = jax.lax.psum(
+                        jax.lax.dot(
+                            W,
+                            (t_s[:, :, None] * tm[:, None, :]
+                             ).reshape(nsub, max_comp * max_comp),
+                            **hk,
+                        ),
+                        AXIS,
+                    ).reshape(-1, max_comp, max_comp)             # [K1, A, A]
                     term1 = jnp.cumsum(QT[None] * U1, axis=1)     # [K1, A, p]
                     Z2 = (U2[:, :, :, None] * QT[None, :, None, :]
                           * QT[None, None, :, :])                 # [K1,A,A,p]
@@ -872,10 +878,15 @@ class ShardedGeneration:
                 # likewise only proposes while sets remain,
                 # src/AbcSmc.cpp:520-529); skipping it removes an O(N2)
                 # resample+perturb from the last step
-                return (
-                    mets_l, d_l, surv_gidx, surv_par, surv_met, w, dv,
-                    ncomp_used,
+                outs = (
+                    d_l, surv_gidx, surv_par, surv_met, w, dv, ncomp_used,
                 )
+                # metrics-precomputed steps do NOT return mets_l: it is a
+                # verbatim passthrough of an input, which XLA materializes
+                # as a full [ln, M] output copy (observed 640 MB of HBM +
+                # bandwidth at 10M rows). The wrapper reattaches the
+                # caller's own buffer instead.
+                return ((mets_l,) + outs) if include_sim else outs
 
             # ---- propose next generation, shard-locally ----
             k_shard = jax.random.fold_in(key, shard)
@@ -931,10 +942,11 @@ class ShardedGeneration:
                 k_seed, (local_next,), 0, np.iinfo(np.int32).max
             ).astype(jnp.uint32)
 
-            return (
-                mets_l, d_l, surv_gidx, surv_par, surv_met, w, dv,
+            outs = (
+                d_l, surv_gidx, surv_par, surv_met, w, dv,
                 nxt.astype(self.dtype), nxt_seeds, ncomp_used,
             )
+            return ((mets_l,) + outs) if include_sim else outs
 
         sharded = P(AXIS)
         rep = P()
@@ -946,6 +958,8 @@ class ShardedGeneration:
             out_specs = (
                 sharded, sharded, rep, rep, rep, rep, rep, sharded, sharded, rep
             )
+        if not include_sim:
+            out_specs = out_specs[1:]   # mets_l is not a program output
         mapped = jax.shard_map(
             local_step,
             mesh=self.mesh,
@@ -962,14 +976,19 @@ class ShardedGeneration:
 
             def step_fn(key, params, seeds, prev_par, prev_w, prev_dv):
                 outs = jitted(key, params, seeds, prev_par, prev_w, prev_dv)
+                if not include_sim:
+                    # reattach the caller's metric buffer (identical values;
+                    # the program does not return the [ln, M] passthrough)
+                    outs = (seeds.astype(self.dtype),) + tuple(outs)
                 return GenerationResult(
                     *outs[:7], empty_par, empty_seeds, outs[7]
                 )
         else:
             def step_fn(key, params, seeds, prev_par, prev_w, prev_dv):
-                return GenerationResult(
-                    *jitted(key, params, seeds, prev_par, prev_w, prev_dv)
-                )
+                outs = jitted(key, params, seeds, prev_par, prev_w, prev_dv)
+                if not include_sim:
+                    outs = (seeds.astype(self.dtype),) + tuple(outs)
+                return GenerationResult(*outs)
 
         return step_fn
 

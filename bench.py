@@ -174,7 +174,8 @@ def main():
     def sync(res):
         # block_until_ready is unreliable on the tunneled axon backend; a
         # one-scalar device_get proves the whole program retired
-        np.asarray(jax.device_get(res.next_params.ravel()[0]))
+        # index before fetching (eager ravel relayouts the whole buffer)
+        np.asarray(jax.device_get(res.next_params[0, 0]))
 
     # compile + warmup
     sync(run(key))

@@ -24,7 +24,8 @@ def sync(r):
     # fetching one scalar of one output implies the whole program completed;
     # fetching every leaf would add a tunnel round-trip per output
     leaf = jax.tree_util.tree_leaves(r)[-1]
-    np.asarray(jax.device_get(leaf.ravel()[0]))
+    # index before fetching (eager ravel relayouts the whole buffer)
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
 def timeit(f, *a, reps=5):

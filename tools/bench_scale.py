@@ -39,7 +39,11 @@ def sync(r):
     # block_until_ready is unreliable on the tunneled axon backend; fetching
     # one scalar proves the whole program retired (CLAUDE.md)
     leaf = jax.tree_util.tree_leaves(r)[-1]
-    np.asarray(jax.device_get(leaf.ravel()[0]))
+    # index BEFORE fetching: an eager .ravel() on a [N, M] device array
+    # executes a full reshape program whose row-major output forces a
+    # lane-padded relayout of the whole buffer (25.6 GB at [50M, 13] -
+    # an HBM OOM); leaf[(0,)*ndim] compiles a trivial slice instead
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
 def timeit(f, *a, reps=3):

@@ -37,7 +37,8 @@ enable_persistent_cache()
 
 def sync(r):
     leaf = jax.tree_util.tree_leaves(r)[-1]
-    np.asarray(jax.device_get(leaf.ravel()[0]))
+    # index before fetching (eager ravel relayouts the whole buffer)
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
 def timeit(f, *a, reps=3):

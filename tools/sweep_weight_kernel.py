@@ -17,7 +17,8 @@ enable_persistent_cache()
 
 
 def sync(r):
-    np.asarray(jax.device_get(r.ravel()[0]))
+    # index before fetching (eager ravel relayouts the whole buffer)
+    np.asarray(jax.device_get(r[(0,) * r.ndim]))
 
 
 def timeit(f, reps=3):

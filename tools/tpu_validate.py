@@ -36,7 +36,8 @@ LOG = os.path.join(
 
 
 def sync(x):
-    return np.asarray(jax.device_get(jnp.ravel(x)[0]))
+    # index before fetching (eager ravel relayouts the whole buffer)
+    return np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
 
 def timeit(f, *a, reps=3):
@@ -175,8 +176,8 @@ def main():
     # XLA:TPU fusion bug was observed to corrupt the moment-expansion dot's
     # operands in exactly this fused program (sum-of-squares sections came
     # back negative), collapsing ncomp to 1 with NO other visible symptom -
-    # see the optimization_barrier in parallel/generation.py. Guard it here,
-    # on hardware, where CPU tests cannot.
+    # see the split-dot MISCOMPILE GUARD in parallel/generation.py. Guard it
+    # here, on hardware, where CPU tests cannot.
     assert ncomp > 1, (
         f"fused-vdv selection degenerate on this backend: ncomp_used={ncomp} "
         "(expected >1 on rank-6-structured metrics; the generation.py "
