@@ -50,6 +50,12 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    once a shard holds >= 2^25 rows, keeping the [N, M]
                    z-score and [N, A] score buffers out of HBM), an int > 0
                    forces that block size, 0 disables
+  ``propose_split``  run the proposal (resample + perturb) as its own
+                   sharded program: unset = auto (splits once a shard's
+                   population or proposal slice reaches 2^26 rows, so
+                   rank-phase and propose-phase temporaries never coexist
+                   in HBM - the single-chip 100M path), true/false force;
+                   draws are bit-identical to the fused step's
 """
 
 from __future__ import annotations
@@ -172,6 +178,7 @@ class SmcConfig:
     resample_method: str = "multinomial"
     weight_precision: str = "high"
     row_block: int | None = None
+    propose_split: bool | None = None
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -528,6 +535,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         resample_method=_parse_resample_method(par),
         weight_precision=_parse_weight_precision(par),
         row_block=_parse_row_block(par),
+        propose_split=_parse_propose_split(par),
         projection_mode=projection,
         raw=par,
     )
@@ -542,6 +550,17 @@ def _parse_resample_method(par: dict) -> str:
             code=1,
         )
     return method
+
+
+def _parse_propose_split(par: dict):
+    ps = par.get("propose_split", None)
+    if ps is None:
+        return None
+    if not isinstance(ps, bool):
+        raise ConfigError(
+            f"propose_split must be a boolean, got {ps!r}", code=1
+        )
+    return ps
 
 
 def _parse_row_block(par: dict):

@@ -610,6 +610,7 @@ class AbcSmc:
             box_cox=cfg.box_cox,
             weight_precision=cfg.weight_precision,
             row_block=cfg.row_block,
+            propose_split=cfg.propose_split,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 

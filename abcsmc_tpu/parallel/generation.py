@@ -16,6 +16,7 @@ fuses into large batched XLA ops on the MXU/VPU.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Any
 
@@ -96,6 +97,7 @@ class ShardedGeneration:
         box_cox: bool = False,
         weight_precision: str = "high",
         row_block: int | None = None,
+        propose_split: bool | None = None,
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -130,6 +132,11 @@ class ShardedGeneration:
         # enough that the [ln, M] / [ln, A] intermediates threaten HBM);
         # an int > 0 forces that block size; 0 disables chunking
         self.row_block = None if row_block is None else int(row_block)
+        # None = auto (split the proposal phase into its own program when a
+        # shard's population or proposal slice reaches 2^26 rows - halving
+        # peak HBM by never overlapping rank-phase and propose-phase
+        # temporaries); True/False force
+        self.propose_split = propose_split
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -227,11 +234,21 @@ class ShardedGeneration:
                 [second, jnp.repeat(second[-1:], extra, axis=0)]
             )
         first = prev_state is None
-        cache_key = (n_pad, n_true, keep, n_next, first, include_sim)
+        split = self.propose_split
+        if split is None:
+            # auto: split when either this population's or the proposal's
+            # per-shard slice reaches 2^26 rows - beyond it the rank-phase
+            # temporaries plus the [ln2, P] proposal buffers overflow one
+            # 16 GB chip if they coexist in one program (observed
+            # RESOURCE_EXHAUSTED at the natural-A 100M steady state)
+            ln2 = (self._padded(n_next) // self.ndev) if n_next > 0 else 0
+            split = max(n_pad // self.ndev, ln2) >= (1 << 26)
+        run_next = 0 if (split and n_next > 0) else n_next
+        cache_key = (n_pad, n_true, keep, run_next, first, include_sim)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             fn = self._build_step(
-                n_pad, keep, n_next, first, include_sim, n_true=n_true
+                n_pad, keep, run_next, first, include_sim, n_true=n_true
             )
             self._step_cache[cache_key] = fn
         if first:
@@ -242,7 +259,117 @@ class ShardedGeneration:
                 jnp.ones((1,), self.dtype),
                 jnp.ones((p,), self.dtype),
             )
-        return fn(key, params, second, *prev_state)
+        res = fn(key, params, second, *prev_state)
+        if split and n_next > 0:
+            # split-propose phase: its own program, same step key -> same
+            # draws as the fused proposal (see propose())
+            nxt, nxt_seeds = self.propose(
+                key, res.survivor_params, res.weights,
+                res.doubled_variance, n_next,
+            )
+            res = dataclasses.replace(
+                res, next_params=nxt, next_seeds=nxt_seeds
+            )
+        return res
+
+    def _propose_local(
+        self, key, shard, surv_par, w, dv, *, local_next, n_next, keep,
+    ):
+        """Shard-local proposal of the next generation: weighted resample +
+        truncated perturbation + fresh per-particle seeds
+        (src/AbcSmc.cpp:479-553). Shared by the fused step and the
+        standalone :meth:`propose` program so both produce IDENTICAL draws
+        for the same step key at any given shape."""
+        k_shard = jax.random.fold_in(key, shard)
+        k_pick, k_noise, k_seed = jax.random.split(k_shard, 3)
+        cdf = jnp.cumsum(w)
+        if self.resample_method == "systematic":
+            # one GLOBAL offset (derived from the replicated key, not the
+            # shard-folded one) so the strata tile the whole population:
+            # shard s covers points (s*local_next + i + u) / n_next.
+            # Strata count is the TRUE next size - padding rows clamp into
+            # the last stratum (they're masked downstream); dividing by
+            # the padded size instead would leave the top pad/n_pad slice
+            # of cumulative weight reachable only by masked rows, biasing
+            # survivors late in CDF order low.
+            # double fold-in: a disjoint derivation path from the
+            # per-shard keys fold_in(key, shard), so no shard index can
+            # alias the offset stream
+            u_g = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key, 131071), 0),
+                (), self.dtype,
+            )
+            g2 = jnp.minimum(
+                shard * local_next + jnp.arange(local_next), n_next - 1
+            )
+            # split-index arithmetic: adding u_g to a large f32 index
+            # would quantize the offset away above ~2^22 rows
+            pts = _stratum_points(g2, u_g, cdf[-1] / n_next, self.dtype)
+            pick = jnp.minimum(
+                jnp.searchsorted(cdf, pts, method="sort"), keep - 1
+            )
+        else:
+            # inverse-CDF categorical: 9x faster than Gumbel-max at 1M x 50k
+            u = jax.random.uniform(
+                k_pick, (local_next,), self.dtype
+            ) * cdf[-1]
+            pick = jnp.minimum(
+                jnp.searchsorted(cdf, u, method="sort"), keep - 1
+            )
+        mu = surv_par[pick]
+        if self.noise_type == NoiseType.MULTIVARIATE:
+            smean = jnp.mean(surv_par, axis=0)
+            centered = surv_par - smean[None, :]
+            sigma = (centered.T @ centered) / max(keep - 1, 1)
+            sigma = sigma + jnp.diag(jnp.diag(sigma))
+            L = jnp.linalg.cholesky(sigma)
+            nxt = self.par_set.noise_multivariate(
+                k_noise, mu, L, self.max_retries
+            )
+        else:
+            nxt = self.par_set.noise_independent(
+                k_noise, mu, dv, self.max_retries
+            )
+        nxt_seeds = jax.random.randint(
+            k_seed, (local_next,), 0, np.iinfo(np.int32).max
+        ).astype(jnp.uint32)
+        return nxt.astype(self.dtype), nxt_seeds
+
+    def propose(self, key, surv_par, weights, doubled_variance, n_next: int):
+        """Propose the next generation as its OWN sharded program (the
+        split-propose phase): inputs are the replicated survivor state, the
+        outputs are the sharded ``(next_params, next_seeds)`` buffers.
+
+        With the same step ``key``, this produces draws IDENTICAL to the
+        fused step's proposal (both run :meth:`_propose_local` with the same
+        replicated key and survivor state). Splitting halves peak HBM at
+        very large shapes: the rank-phase temporaries and the [ln2, P]
+        proposal buffers never coexist, which is what lets a single 16 GB
+        chip run a full natural-A 100M-particle generation."""
+        n_next_pad = self._padded(n_next)
+        local_next = n_next_pad // self.ndev
+        keep = int(surv_par.shape[0])
+        cache_key = ("propose", keep, n_next)
+        fn = self._step_cache.get(cache_key)
+        if fn is None:
+            def local_prop(key, surv_par, w, dv):
+                shard = jax.lax.axis_index(AXIS)
+                # n_next stays the TRUE size (systematic strata parity with
+                # the fused step); only local_next uses the padded buffer
+                return self._propose_local(
+                    key, shard, surv_par, w, dv,
+                    local_next=local_next, n_next=n_next, keep=keep,
+                )
+
+            rep = P()
+            fn = jax.jit(jax.shard_map(
+                local_prop, mesh=self.mesh,
+                in_specs=(rep, rep, rep, rep),
+                out_specs=(P(AXIS), P(AXIS)),
+                check_vma=False,
+            ))
+            self._step_cache[cache_key] = fn
+        return fn(key, surv_par, weights, doubled_variance)
 
     def _build_step(
         self, n: int, keep: int, n_next: int, first: bool,
@@ -703,50 +830,50 @@ class ShardedGeneration:
                     # p in the 128-lane minor dim).
                     tm = t_s * test_s                             # [ns, A]
                     zpm = zp_s * test_s                           # [ns, p]
+                    rhs = jnp.concatenate([
+                        zpm * zp_s,                               # [ns, p]
+                        (t_s[:, :, None] * zpm[:, None, :]
+                         ).reshape(nsub, max_comp * npar),        # [ns, A*p]
+                        (t_s[:, :, None] * tm[:, None, :]
+                         ).reshape(nsub, max_comp * max_comp),    # [ns, A*A]
+                    ], axis=1)
                     W = jnp.concatenate(
                         [jnp.ones((1, nsub), self.dtype), sgn], axis=0
                     )                                             # [K1, ns]
-                    # MISCOMPILE GUARD (empirical, v5e): these three
-                    # statistics were originally ONE dot over the
-                    # concatenated [ns, p+Ap+AA] right-hand side. When
-                    # XLA:TPU fused the operand production (the 3-way
-                    # product reshapes + concat) into that HIGHEST-precision
-                    # dot, the dot read wrong operand data - the observed
-                    # row of U came back NEGATIVE in its sum-of-squares
-                    # section (U0 = sum test*zp^2 >= 0 by construction),
-                    # driving every p-value to 0 and silently collapsing
-                    # ncomp to 1 at the 1M bench shape (ns = 131072; the
-                    # isolated dot, the CPU lowering, and the same program
-                    # with these intermediates as outputs all compute
-                    # correctly - bisect in docs/TPU_VALIDATION.md). Keeping
-                    # the three sections as SEPARATE dots avoids the faulty
-                    # fusion (an optimization_barrier on the fused operands
-                    # also fixed it, but forcing a 133 MB rhs buffer is
-                    # strictly worse than three un-concatenated dots).
-                    # tools/tpu_validate.py hard-asserts ncomp_used > 1 on
+                    # MISCOMPILE GUARD (empirical, v5e): when XLA:TPU fuses
+                    # the production of these operands (the 3-way-product
+                    # reshapes above) into the HIGHEST-precision dot, the
+                    # dot reads wrong operand data - the observed row of U
+                    # came back NEGATIVE in its sum-of-squares section
+                    # (U0 = sum test*zp^2 >= 0 by construction), driving
+                    # every p-value to 0 and silently collapsing ncomp to 1
+                    # at the 1M bench shape (ns = 131072). The isolated dot,
+                    # the CPU lowering, and the same program with these
+                    # intermediates returned as outputs all compute
+                    # correctly. Splitting into three un-concatenated dots
+                    # fixed the RESIDENT program but the CHUNKED one still
+                    # mis-selected (ncomp 7 vs 13 on-chip); this barrier -
+                    # which pins W/rhs as materialized buffers so the dot
+                    # cannot fuse with their producers - is the only form
+                    # hardware-validated correct for BOTH row-pass modes
+                    # (docs/TPU_VALIDATION.md). It is an identity on all
+                    # backends; tools/tpu_validate.py hard-asserts
+                    # ncomp_used > 1 AND chunked == resident selection on
                     # rank-structured 1M data on hardware.
-                    hk = dict(precision=jax.lax.Precision.HIGHEST)
-                    U0 = jax.lax.psum(
-                        jax.lax.dot(W, zpm * zp_s, **hk), AXIS
-                    )                                             # [K1, p]
-                    U1 = jax.lax.psum(
+                    W, rhs = jax.lax.optimization_barrier((W, rhs))
+                    U = jax.lax.psum(
                         jax.lax.dot(
-                            W,
-                            (t_s[:, :, None] * zpm[:, None, :]
-                             ).reshape(nsub, max_comp * npar),
-                            **hk,
+                            W, rhs, precision=jax.lax.Precision.HIGHEST
                         ),
                         AXIS,
-                    ).reshape(-1, max_comp, npar)                 # [K1, A, p]
-                    U2 = jax.lax.psum(
-                        jax.lax.dot(
-                            W,
-                            (t_s[:, :, None] * tm[:, None, :]
-                             ).reshape(nsub, max_comp * max_comp),
-                            **hk,
-                        ),
-                        AXIS,
-                    ).reshape(-1, max_comp, max_comp)             # [K1, A, A]
+                    )                                             # [K1, p+Ap+AA]
+                    U0 = U[:, :npar]                              # [K1, p]
+                    U1 = U[:, npar:npar + max_comp * npar].reshape(
+                        -1, max_comp, npar
+                    )                                             # [K1, A, p]
+                    U2 = U[:, npar + max_comp * npar:].reshape(
+                        -1, max_comp, max_comp
+                    )                                             # [K1, A, A]
                     term1 = jnp.cumsum(QT[None] * U1, axis=1)     # [K1, A, p]
                     Z2 = (U2[:, :, :, None] * QT[None, :, None, :]
                           * QT[None, None, :, :])                 # [K1,A,A,p]
@@ -889,62 +1016,14 @@ class ShardedGeneration:
                 return ((mets_l,) + outs) if include_sim else outs
 
             # ---- propose next generation, shard-locally ----
-            k_shard = jax.random.fold_in(key, shard)
-            k_pick, k_noise, k_seed = jax.random.split(k_shard, 3)
-            cdf = jnp.cumsum(w)
-            if self.resample_method == "systematic":
-                # one GLOBAL offset (derived from the replicated key, not the
-                # shard-folded one) so the strata tile the whole population:
-                # shard s covers points (s*local_next + i + u) / n_next.
-                # Strata count is the TRUE next size - padding rows clamp into
-                # the last stratum (they're masked downstream); dividing by
-                # the padded size instead would leave the top pad/n_pad slice
-                # of cumulative weight reachable only by masked rows, biasing
-                # survivors late in CDF order low.
-                # double fold-in: a disjoint derivation path from the
-                # per-shard keys fold_in(key, shard), so no shard index can
-                # alias the offset stream
-                u_g = jax.random.uniform(
-                    jax.random.fold_in(jax.random.fold_in(key, 131071), 0),
-                    (), self.dtype,
-                )
-                g2 = jnp.minimum(
-                    shard * local_next + jnp.arange(local_next), n_next - 1
-                )
-                # split-index arithmetic: adding u_g to a large f32 index
-                # would quantize the offset away above ~2^22 rows
-                pts = _stratum_points(g2, u_g, cdf[-1] / n_next, self.dtype)
-                pick = jnp.minimum(
-                    jnp.searchsorted(cdf, pts, method="sort"), keep - 1
-                )
-            else:
-                # inverse-CDF categorical: 9x faster than Gumbel-max at 1M x 50k
-                u = jax.random.uniform(
-                    k_pick, (local_next,), self.dtype
-                ) * cdf[-1]
-                pick = jnp.minimum(
-                    jnp.searchsorted(cdf, u, method="sort"), keep - 1
-                )
-            mu = surv_par[pick]
-            if self.noise_type == NoiseType.MULTIVARIATE:
-                centered = surv_par - smean[None, :]
-                sigma = (centered.T @ centered) / max(keep - 1, 1)
-                sigma = sigma + jnp.diag(jnp.diag(sigma))
-                L = jnp.linalg.cholesky(sigma)
-                nxt = self.par_set.noise_multivariate(
-                    k_noise, mu, L, self.max_retries
-                )
-            else:
-                nxt = self.par_set.noise_independent(
-                    k_noise, mu, dv, self.max_retries
-                )
-            nxt_seeds = jax.random.randint(
-                k_seed, (local_next,), 0, np.iinfo(np.int32).max
-            ).astype(jnp.uint32)
+            nxt, nxt_seeds = self._propose_local(
+                key, shard, surv_par, w, dv,
+                local_next=local_next, n_next=n_next, keep=keep,
+            )
 
             outs = (
                 d_l, surv_gidx, surv_par, surv_met, w, dv,
-                nxt.astype(self.dtype), nxt_seeds, ncomp_used,
+                nxt, nxt_seeds, ncomp_used,
             )
             return ((mets_l,) + outs) if include_sim else outs
 

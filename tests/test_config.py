@@ -120,6 +120,19 @@ def test_row_block_parse_and_validation():
             parse_config(cfg)
 
 
+def test_propose_split_parse_and_validation():
+    base = json.load(open(REFERENCE_JSON))
+    assert parse_config(dict(base)).propose_split is None
+    cfg = dict(base)
+    for v in (True, False):
+        cfg["propose_split"] = v
+        assert parse_config(cfg).propose_split is v
+    for bad in (1, 0, "auto", 2.5):
+        cfg["propose_split"] = bad
+        with pytest.raises(ConfigError):
+            parse_config(cfg)
+
+
 def test_unknown_types_rejected_with_codes():
     base = json.load(open(REFERENCE_JSON))
     cfg = json.loads(json.dumps(base))

@@ -802,3 +802,47 @@ def test_sharded_systematic_non_divisible_next():
     r2 = gen.step(k2, r1.next_params, r1.next_seeds, 20, 0, state, n_valid=300)
     assert r2.survivor_params.shape == (20, 2)
     assert np.all(np.asarray(r2.survivor_idx) < 300)          # pads never survive
+
+
+@pytest.mark.parametrize(
+    "noise,resample",
+    [("INDEPENDENT", "multinomial"), ("MULTIVARIATE", "systematic")],
+)
+def test_propose_split_matches_fused_step(noise, resample):
+    """The split-propose phase (its own sharded program; auto above 2^26
+    rows/shard, forced here) must produce draws IDENTICAL to the fused
+    step's proposal: same replicated step key -> same resample picks, same
+    perturbation, same seeds."""
+    n, keep = 64, 16
+    cfg, params, mets, obs, sim = _linear_gaussian_problem(n)
+    par_set = ParameterSet.from_specs(cfg.parameters)
+    key = jax.random.PRNGKey(9)
+    rng = np.random.default_rng(4)
+    prev = (
+        jnp.asarray(rng.uniform(0.2, 0.8, (keep, 6))),
+        jnp.full((keep,), 1.0 / keep),
+        jnp.full((6,), 0.01),
+    )
+    res = {}
+    for split in (False, True):
+        gen = ShardedGeneration(
+            par_set, ParameterTransform(cfg.parameters), sim, obs,
+            mesh=particle_mesh(jax.devices()),
+            noise_type=NoiseType[noise], resample_method=resample,
+            dtype=jnp.float64, propose_split=split,
+        )
+        res[split] = gen.step_precomputed(key, params, mets, keep, n, prev)
+    a, b = res[False], res[True]
+    np.testing.assert_array_equal(
+        np.asarray(a.survivor_idx), np.asarray(b.survivor_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.next_seeds), np.asarray(b.next_seeds)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.next_params), np.asarray(b.next_params),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.weights), np.asarray(b.weights), rtol=0, atol=0
+    )

@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--sim", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--precision", default="high")
+    ap.add_argument(
+        "--phases", action="store_true",
+        help="measure rank-phase (n_next=0) and propose-phase separately, "
+        "freeing the population buffers in between - the sequence the "
+        "engine runs at HBM-bound shapes (it mirrors, frees, proposes); "
+        "the full-generation number is the sum",
+    )
     args = ap.parse_args()
 
     from abcsmc_tpu.config import parse_config
@@ -128,6 +135,30 @@ def main():
     tag = (f"N={n} keep={keep} precision={args.precision}"
            f" row_block={args.row_block} max_comp={args.max_comp}"
            f" {ndev} {jax.default_backend()} device(s)")
+
+    if args.phases:
+        t_rank, res = timeit(
+            lambda kk: gen.step_precomputed(kk, params, mets, keep, 0, state),
+            key, reps=args.reps,
+        )
+        ncomp = int(np.asarray(jax.device_get(res.ncomp_used)))
+        surv = (res.survivor_params, res.weights, res.doubled_variance)
+        sync(surv)
+        # free the population buffers before proposing, exactly as the
+        # engine does once the generation is mirrored to the store
+        del params, mets, res, seeds
+        t_prop, _ = timeit(
+            lambda kk: gen.propose(kk, *surv, n), key, reps=args.reps,
+        )
+        t = t_rank + t_prop
+        print(json.dumps({
+            "metric": f"SMC generation steady state, two-phase "
+            f"(rank+weight then propose; buffers freed between), {tag}",
+            "value": round(t, 3), "unit": "s",
+            "rank_s": round(t_rank, 3), "propose_s": round(t_prop, 3),
+            "particles_per_sec": round(n / t), "ncomp_used": ncomp,
+        }), flush=True)
+        return
 
     t, res = timeit(
         lambda kk: gen.step_precomputed(kk, params, mets, keep, n, state),

@@ -176,7 +176,7 @@ def main():
     # XLA:TPU fusion bug was observed to corrupt the moment-expansion dot's
     # operands in exactly this fused program (sum-of-squares sections came
     # back negative), collapsing ncomp to 1 with NO other visible symptom -
-    # see the split-dot MISCOMPILE GUARD in parallel/generation.py. Guard it
+    # see the MISCOMPILE GUARD barrier in parallel/generation.py. Guard it
     # here, on hardware, where CPU tests cannot.
     assert ncomp > 1, (
         f"fused-vdv selection degenerate on this backend: ncomp_used={ncomp} "
