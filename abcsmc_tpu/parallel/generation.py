@@ -38,6 +38,19 @@ from abcsmc_tpu.parallel.mesh import PARTICLE_AXIS
 AXIS = PARTICLE_AXIS
 
 
+def _sorted_searchsorted(cdf, q_sorted, n: int):
+    """``searchsorted(cdf, q)`` (side='left') for an ASCENDING query vector,
+    without sorting the queries: the K-1 bucket boundaries are found by
+    binary-searching the (small) cdf INTO the sorted queries, then expanded
+    to per-row picks by a scatter + cumsum. Zero-width buckets (zero-weight
+    survivors, duplicate cdf entries) produce +2 scatter hits at one index,
+    i.e. the pick correctly skips the weightless survivor. Output is in
+    [0, K-1] by construction (only the first K-1 edges are scattered)."""
+    bounds = jnp.searchsorted(q_sorted, cdf[:-1], side="right")  # [K-1]
+    z = jnp.zeros((n,), jnp.int32).at[bounds].add(1, mode="drop")
+    return jnp.cumsum(z)
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class GenerationResult:
@@ -137,6 +150,15 @@ class ShardedGeneration:
         # peak HBM by never overlapping rank-phase and propose-phase
         # temporaries); True/False force
         self.propose_split = propose_split
+        # resample-pick strategy switch: above this many proposal rows per
+        # shard, picks come from pre-sorted uniforms (exponential spacings)
+        # + _sorted_searchsorted instead of searchsorted(method="sort") -
+        # the query sort measured 2.56 s of the 3.04 s propose phase at
+        # 100M on v5e; the sorted path measures 0.29 s (measured wins:
+        # 50M generation 2.19 -> 1.26 s, 100M 3.99 -> 1.81 s). Below the
+        # threshold the sort is already cheap and the certified draw
+        # streams stay byte-stable.
+        self.sorted_pick_min = 1 << 24
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
@@ -305,17 +327,44 @@ class ShardedGeneration:
             # split-index arithmetic: adding u_g to a large f32 index
             # would quantize the offset away above ~2^22 rows
             pts = _stratum_points(g2, u_g, cdf[-1] / n_next, self.dtype)
-            pick = jnp.minimum(
-                jnp.searchsorted(cdf, pts, method="sort"), keep - 1
-            )
+            if local_next >= self.sorted_pick_min:
+                # the strata are ascending by construction
+                pick = _sorted_searchsorted(cdf, pts, local_next)
+            else:
+                pick = jnp.minimum(
+                    jnp.searchsorted(cdf, pts, method="sort"), keep - 1
+                )
         else:
-            # inverse-CDF categorical: 9x faster than Gumbel-max at 1M x 50k
-            u = jax.random.uniform(
-                k_pick, (local_next,), self.dtype
-            ) * cdf[-1]
-            pick = jnp.minimum(
-                jnp.searchsorted(cdf, u, method="sort"), keep - 1
-            )
+            if local_next >= self.sorted_pick_min:
+                # big-N multinomial: draw the uniforms ALREADY SORTED via
+                # exponential spacings (u_(i) = S_i / S_{n+1}, S = cumsum of
+                # iid Exp(1) - the exact joint law of sorted iid uniforms),
+                # then resolve picks with K-1 binary searches + a
+                # scatter/cumsum expansion instead of sorting the queries:
+                # searchsorted(method="sort") sorts the [ln2] query vector,
+                # which measured 2.56 s of the 3.04 s propose phase at 100M
+                # on v5e; this path measures 0.29 s (identical picks up to
+                # exact f32 ties, ~4e-5 of rows, each off by one adjacent
+                # survivor). The next population lands ordered by parent
+                # CDF position - a pure permutation of the multinomial
+                # multiset (the same ordering systematic resampling always
+                # produced); every downstream statistic is
+                # permutation-invariant.
+                e = jax.random.exponential(
+                    k_pick, (local_next + 1,), self.dtype
+                )
+                s = jnp.cumsum(e)
+                u = (s[:-1] / s[-1]) * cdf[-1]
+                pick = _sorted_searchsorted(cdf, u, local_next)
+            else:
+                # inverse-CDF categorical: 9x faster than Gumbel-max at
+                # 1M x 50k
+                u = jax.random.uniform(
+                    k_pick, (local_next,), self.dtype
+                ) * cdf[-1]
+                pick = jnp.minimum(
+                    jnp.searchsorted(cdf, u, method="sort"), keep - 1
+                )
         mu = surv_par[pick]
         if self.noise_type == NoiseType.MULTIVARIATE:
             smean = jnp.mean(surv_par, axis=0)

@@ -846,3 +846,81 @@ def test_propose_split_matches_fused_step(noise, resample):
     np.testing.assert_allclose(
         np.asarray(a.weights), np.asarray(b.weights), rtol=0, atol=0
     )
+
+
+def test_sorted_searchsorted_matches_searchsorted():
+    """_sorted_searchsorted == jnp.searchsorted(side='left') for ascending
+    queries, including zero-width buckets (zero-weight survivors) and
+    queries landing in the first/last bucket."""
+    from abcsmc_tpu.parallel.generation import _sorted_searchsorted
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        k = int(rng.integers(2, 40))
+        w = rng.uniform(0, 1, k)
+        w[rng.uniform(size=k) < 0.3] = 0.0   # zero-weight survivors
+        if w.sum() == 0:
+            w[0] = 1.0
+        cdf = jnp.asarray(np.cumsum(w), jnp.float64)
+        n = int(rng.integers(1, 200))
+        q = jnp.asarray(
+            np.sort(rng.uniform(0, float(cdf[-1]) * 0.999999, n)),
+            jnp.float64,
+        )
+        got = np.asarray(_sorted_searchsorted(cdf, q, n))
+        want = np.asarray(jnp.searchsorted(cdf, q))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sorted_pick_path_statistics_and_equivalence():
+    """The big-N sorted-spacings pick path (forced via sorted_pick_min=1)
+    must (a) resample with the right marginal law - empirical parent counts
+    track the weights - and (b) stay bit-identical between the fused and
+    split-propose programs."""
+    n, keep = 512, 8
+    cfg, params, mets, obs, sim = _linear_gaussian_problem(64)
+    par_set = ParameterSet.from_specs(cfg.parameters)
+    rng = np.random.default_rng(7)
+    w_np = rng.uniform(0.1, 1.0, keep)
+    w_np[0] = 5.0                      # one heavy survivor
+    prev = (
+        jnp.asarray(rng.uniform(0.2, 0.8, (keep, 6))),
+        jnp.asarray(w_np / np.linalg.norm(w_np)),
+        jnp.full((6,), 0.01),
+    )
+    key = jax.random.PRNGKey(3)
+    res = {}
+    for split in (False, True):
+        gen = ShardedGeneration(
+            par_set, ParameterTransform(cfg.parameters), sim, obs,
+            mesh=particle_mesh(jax.devices()),
+            dtype=jnp.float64, propose_split=split,
+        )
+        gen.sorted_pick_min = 1       # force the sorted-spacings path
+        res[split] = gen.step_precomputed(
+            key, params[:64], mets, keep, n, prev)
+    np.testing.assert_array_equal(
+        np.asarray(res[False].next_seeds), np.asarray(res[True].next_seeds))
+    np.testing.assert_allclose(
+        np.asarray(res[False].next_params),
+        np.asarray(res[True].next_params), rtol=0, atol=0)
+
+    # marginal law: propose with near-zero noise so each next row sits on
+    # its parent; empirical parent frequencies must track the weights
+    gen = ShardedGeneration(
+        par_set, ParameterTransform(cfg.parameters), sim, obs,
+        mesh=particle_mesh(jax.devices()), dtype=jnp.float64,
+    )
+    gen.sorted_pick_min = 1
+    n_draw = 8192
+    surv = jnp.asarray(rng.uniform(0.2, 0.8, (keep, 6)))
+    w = jnp.asarray(w_np / w_np.sum())
+    nxt, _ = gen.propose(
+        key, surv, w, jnp.full((6,), 1e-12), n_draw)
+    d = np.linalg.norm(
+        np.asarray(nxt)[:, None, :] - np.asarray(surv)[None, :, :], axis=2)
+    parent = d.argmin(axis=1)
+    freq = np.bincount(parent, minlength=keep) / n_draw
+    share = np.asarray(w)
+    # multinomial se ~ sqrt(p(1-p)/n) <= 0.0055; allow 5 se
+    np.testing.assert_allclose(freq, share, atol=0.03)
