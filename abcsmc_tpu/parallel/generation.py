@@ -155,10 +155,10 @@ class ShardedGeneration:
         # + _sorted_searchsorted instead of searchsorted(method="sort") -
         # the query sort measured 2.56 s of the 3.04 s propose phase at
         # 100M on v5e; the sorted path measures 0.29 s (measured wins:
-        # 50M generation 2.19 -> 1.26 s, 100M 3.99 -> 1.81 s). Below the
-        # threshold the sort is already cheap and the certified draw
-        # streams stay byte-stable.
-        self.sorted_pick_min = 1 << 24
+        # 10M pick 256 -> 119 ms, 50M generation 2.19 -> 1.26 s,
+        # 100M 3.99 -> 1.81 s). Below the threshold the sort is already
+        # cheap and the certified draw streams stay byte-stable.
+        self.sorted_pick_min = 1 << 23
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
