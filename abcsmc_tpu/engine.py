@@ -10,6 +10,7 @@ as jitted JAX (sharded over a device mesh when one is provided).
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import sys
@@ -28,6 +29,14 @@ from abcsmc_tpu.models.simulators import Simulator, resolve_simulator
 from abcsmc_tpu.models.transforms import ParameterTransform
 from abcsmc_tpu.ops import ranking, resample, stats, weights
 from abcsmc_tpu.storage import MemoryStorage, SQLiteStorage, Storage
+
+# host-side stand-in for a GenerationResult whose O(N) device buffers were
+# eagerly fetched and freed (the HBM-bound split-propose path); carries
+# exactly the fields the mirror phase reads
+_SlimResult = collections.namedtuple(
+    "_SlimResult",
+    ["survivor_idx", "weights", "doubled_variance", "ncomp_used"],
+)
 
 
 class AbcSmc:
@@ -634,6 +643,9 @@ class AbcSmc:
             and not cfg.nrmse_tolerance
             and len(sizes) == 1 and len(keeps) == 1
             and hist_bytes <= 256 * 2**20
+            # HBM-bound (or force-split) runs need the sequential loop's
+            # rank -> mirror -> free -> propose ordering
+            and not gen.split_propose_active(max(sizes), max(sizes))
         )
 
         pending_mets = None
@@ -701,30 +713,56 @@ class AbcSmc:
                 n_t = cfg.smc_size_at(t)
                 last = t + 1 >= cfg.num_smc_sets
                 n_next = 0 if last else cfg.smc_size_at(t + 1)
+                # HBM-bound shapes sequence rank -> fetch -> FREE -> propose
+                # at the engine level: inside a single step() the caller's
+                # [N, P]/[N, M] buffers stay live through the proposal, which
+                # overflows one chip at ~100M rows (the generation-level
+                # split alone cannot free what the engine still references)
+                split_t = gen.split_propose_active(n_t, n_next)
+                eff_next = 0 if split_t else n_next
                 if t == t0 and pending_mets is not None:
                     # resumed set: metrics are the stored-'D'/re-simulated
                     # merge
                     res = gen.step_precomputed(
                         kt, params, pending_mets, cfg.pred_prior_size_at(t),
-                        n_next, state, n_valid=n_t,
+                        eff_next, state, n_valid=n_t,
                     )
+                    pending_mets = None
                 else:
                     res = gen.step(
-                        kt, params, seeds, cfg.pred_prior_size_at(t), n_next,
-                        state, n_valid=n_t,
+                        kt, params, seeds, cfg.pred_prior_size_at(t),
+                        eff_next, state, n_valid=n_t,
                     )
-                # keep device references; the host fetch happens in the
-                # mirror phase below so generation t+1 dispatches without
-                # waiting on a (tunnel-slow) O(N) device->host transfer of
-                # generation t
-                pops.append((params, seeds, res.metrics))
-                results.append(res)
                 state = (
                     res.survivor_params, res.weights, res.doubled_variance
                 )
-                params, seeds = res.next_params, res.next_seeds
-                if self._nrmse_converged(res.survivor_metrics, t):
-                    break
+                converged = self._nrmse_converged(res.survivor_metrics, t)
+                if split_t:
+                    # eager per-generation fetch: the O(N) device buffers of
+                    # THIS generation must die before the [N2, P] proposal
+                    # program runs (and before the next generation exists) -
+                    # retaining every generation like the fast path does
+                    # would also accumulate O(G * N) HBM at these shapes
+                    host = jax.device_get((
+                        params, seeds, res.metrics, res.survivor_idx,
+                        res.weights, res.doubled_variance, res.ncomp_used,
+                    ))
+                    pops.append(host[:3])
+                    results.append(_SlimResult(*host[3:]))
+                    del params, seeds, res
+                    if converged or last:
+                        break
+                    params, seeds = gen.propose(kt, *state, n_next)
+                else:
+                    # keep device references; the host fetch happens in the
+                    # mirror phase below so generation t+1 dispatches without
+                    # waiting on a (tunnel-slow) O(N) device->host transfer
+                    # of generation t
+                    pops.append((params, seeds, res.metrics))
+                    results.append(res)
+                    params, seeds = res.next_params, res.next_seeds
+                    if converged:
+                        break
 
         t_dispatch = time.perf_counter() - t_dispatch0
 

@@ -256,17 +256,13 @@ class ShardedGeneration:
                 [second, jnp.repeat(second[-1:], extra, axis=0)]
             )
         first = prev_state is None
-        split = self.propose_split
-        if split is None:
-            # auto: split when either this population's or the proposal's
-            # per-shard slice reaches 2^26 rows - beyond it the rank-phase
-            # temporaries plus the [ln2, P] proposal buffers overflow one
-            # 16 GB chip if they coexist in one program (observed
-            # RESOURCE_EXHAUSTED at the natural-A 100M steady state)
-            ln2 = (self._padded(n_next) // self.ndev) if n_next > 0 else 0
-            split = max(n_pad // self.ndev, ln2) >= (1 << 26)
-        run_next = 0 if (split and n_next > 0) else n_next
-        cache_key = (n_pad, n_true, keep, run_next, first, include_sim)
+        split = self.split_propose_active(n_true, n_next)
+        run_next = 0 if split else n_next
+        # sorted_pick_min participates: it branches the traced pick path,
+        # so mutating it (tests / A-B measurements) must not silently
+        # reuse a program compiled under the old threshold
+        cache_key = (n_pad, n_true, keep, run_next, first, include_sim,
+                     self.sorted_pick_min)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             fn = self._build_step(
@@ -384,6 +380,21 @@ class ShardedGeneration:
         ).astype(jnp.uint32)
         return nxt.astype(self.dtype), nxt_seeds
 
+    def split_propose_active(self, n: int, n_next: int) -> bool:
+        """True when a step at (n, n_next) runs its proposal as a separate
+        program (``propose_split``; auto: either per-shard slice >= 2^26
+        rows - beyond it the rank-phase temporaries plus the [ln2, P]
+        proposal buffers overflow one 16 GB chip if they coexist, observed
+        RESOURCE_EXHAUSTED at the natural-A 100M steady state). The engine
+        checks this to sequence rank -> mirror -> free -> propose itself at
+        HBM-bound shapes."""
+        if n_next <= 0:
+            return False
+        if self.propose_split is not None:
+            return bool(self.propose_split)
+        ln2 = self._padded(n_next) // self.ndev
+        return max(self._padded(n) // self.ndev, ln2) >= (1 << 26)
+
     def propose(self, key, surv_par, weights, doubled_variance, n_next: int):
         """Propose the next generation as its OWN sharded program (the
         split-propose phase): inputs are the replicated survivor state, the
@@ -398,7 +409,7 @@ class ShardedGeneration:
         n_next_pad = self._padded(n_next)
         local_next = n_next_pad // self.ndev
         keep = int(surv_par.shape[0])
-        cache_key = ("propose", keep, n_next)
+        cache_key = ("propose", keep, n_next, self.sorted_pick_min)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             def local_prop(key, surv_par, w, dv):
@@ -1154,7 +1165,8 @@ class ShardedGeneration:
         """
         assert gens >= 1
         n_pad = self._padded(n)
-        cache_key = ("scan", n_pad, n, keep, gens, full_history)
+        cache_key = ("scan", n_pad, n, keep, gens, full_history,
+                     self.sorted_pick_min)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             # traced-through step programs (jit-of-jit inlines)

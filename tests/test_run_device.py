@@ -404,3 +404,30 @@ def test_run_device_box_cox_stays_on_device():
     pars, _ = abc.posterior()
     assert pars.shape == (6, 2)
     assert len(abc._weights) == 3
+
+
+def test_run_device_propose_split_matches_default():
+    """`propose_split: true` flows config -> engine; the engine then
+    sequences rank -> eager mirror fetch -> FREE -> propose per generation
+    (the HBM-bound big-N ordering). The stored results must be identical to
+    the default fused run: the split proposal uses the same step key, so
+    the draws are bit-equal."""
+    cfg = dice_cfg(n=64)
+    abc_a = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                   storage=MemoryStorage())
+    abc_a.run_device(seed=31)
+    abc_b = AbcSmc(dict(cfg, propose_split=True, nrmse_tolerance=0.0),
+                   simulator=make_dice_simulator(max_dice=50),
+                   storage=MemoryStorage())
+    abc_b.run_device(seed=31)
+    for t in range(3):
+        np.testing.assert_array_equal(
+            abc_a.particle_parameters[t], abc_b.particle_parameters[t]
+        )
+        np.testing.assert_array_equal(
+            abc_a.particle_metrics[t], abc_b.particle_metrics[t]
+        )
+    p1, w1 = abc_a.posterior()
+    p2, w2 = abc_b.posterior()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(w1, w2, rtol=1e-12)

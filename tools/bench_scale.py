@@ -116,9 +116,12 @@ def main():
 
     params, mets = make_data(key)
     sync((params, mets))
-    seeds = jax.jit(
-        lambda k: jax.random.randint(k, (n,), 0, 2**31 - 1, jnp.uint32)
-    )(jax.random.fold_in(key, 7))
+    if args.sim:
+        # only the sim-included run consumes seeds; don't let a dead [N]
+        # buffer occupy HBM in the modes that exist because HBM is tight
+        seeds = jax.jit(
+            lambda k: jax.random.randint(k, (n,), 0, 2**31 - 1, jnp.uint32)
+        )(jax.random.fold_in(key, 7))
     state = (
         jnp.asarray(rng.uniform(0.3, 0.7, (keep, npar)), jnp.float32),
         jnp.full((keep,), 1.0 / keep, jnp.float32),
@@ -146,7 +149,7 @@ def main():
         sync(surv)
         # free the population buffers before proposing, exactly as the
         # engine does once the generation is mirrored to the store
-        del params, mets, res, seeds
+        del params, mets, res
         t_prop, _ = timeit(
             lambda kk: gen.propose(kk, *surv, n), key, reps=args.reps,
         )
