@@ -153,12 +153,13 @@ class ShardedGeneration:
         # resample-pick strategy switch: above this many proposal rows per
         # shard, picks come from pre-sorted uniforms (exponential spacings)
         # + _sorted_searchsorted instead of searchsorted(method="sort") -
-        # the query sort measured 2.56 s of the 3.04 s propose phase at
-        # 100M on v5e; the sorted path measures 0.29 s (measured wins:
-        # 10M pick 256 -> 119 ms, 50M generation 2.19 -> 1.26 s,
-        # 100M 3.99 -> 1.81 s). Below the threshold the sort is already
-        # cheap and the certified draw streams stay byte-stable.
-        self.sorted_pick_min = 1 << 23
+        # the query sort devices-measures 15.8 ms vs 7.5 ms at 1M x 50k
+        # (scan-marginal timing) and 2.56 s vs 0.29 s at 100M on v5e
+        # (measured wins: 1M generation device time 29 -> 21 ms, 10M pick
+        # 256 -> 119 ms, 50M generation 2.19 -> 1.26 s, 100M 3.99 ->
+        # 1.81 s). Below the threshold the small sort wins and the draw
+        # streams stay byte-stable.
+        self.sorted_pick_min = 1 << 19
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
 
