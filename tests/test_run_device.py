@@ -431,3 +431,38 @@ def test_run_device_propose_split_matches_default():
     p2, w2 = abc_b.posterior()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_allclose(w1, w2, rtol=1e-12)
+
+
+def test_run_device_resume_with_propose_split(tmp_path):
+    """Resuming a half-simulated store with the split-propose sequencing
+    active must produce the identical database as the fused resume (the
+    split proposal uses the same step key, and the resumed set's
+    metrics-precomputed step is followed by an engine-level propose)."""
+    dbs = {}
+    for split in (False, True):
+        db = str(tmp_path / f"resume_{split}.sqlite")
+        sim = make_dice_simulator(max_dice=50)
+        abc = AbcSmc(dice_cfg(db), simulator=sim)
+        abc.build_database(seed=9)
+        abc.simulate_next_particles(n=24)
+        abc.storage.close()
+        cfg = dict(dice_cfg(db))
+        if split:
+            cfg["propose_split"] = True
+        abc2 = AbcSmc(cfg, simulator=sim)
+        abc2.run_device(seed=21)
+        conn = sqlite3.connect(db)
+        dbs[split] = (
+            conn.execute(
+                "select smcSet, count(*), sum(status='D'), "
+                "sum(posterior > -1) from job group by smcSet").fetchall(),
+            conn.execute(
+                "select serial, ndice, sides from par order by serial"
+            ).fetchall(),
+            conn.execute(
+                "select serial, posterior from job order by serial"
+            ).fetchall(),
+        )
+        conn.close()
+        abc2.storage.close()
+    assert dbs[False] == dbs[True]
