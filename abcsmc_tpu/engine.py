@@ -750,7 +750,9 @@ class AbcSmc:
                     pops.append(host[:3])
                     results.append(_SlimResult(*host[3:]))
                     del params, seeds, res
-                    if converged or last:
+                    # (the final set never reaches this branch: n_next == 0
+                    # there and split_propose_active is False for it)
+                    if converged:
                         break
                     params, seeds = gen.propose(kt, *state, n_next)
                 else:

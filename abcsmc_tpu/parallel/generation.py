@@ -325,7 +325,14 @@ class ShardedGeneration:
             # would quantize the offset away above ~2^22 rows
             pts = _stratum_points(g2, u_g, cdf[-1] / n_next, self.dtype)
             if local_next >= self.sorted_pick_min:
-                # the strata are ascending by construction
+                # the strata ascend mathematically, but f32 rounding in
+                # _stratum_points' block arithmetic can invert neighbors by
+                # a few ulps across its 4096-index boundaries at >= ~2^23
+                # rows; _sorted_searchsorted requires ascending queries, so
+                # project onto monotone first (a <= few-ulp correction on
+                # the handful of inverted points - statistically invisible,
+                # and a no-op wherever pts is already sorted)
+                pts = jax.lax.cummax(pts)
                 pick = _sorted_searchsorted(cdf, pts, local_next)
             else:
                 pick = jnp.minimum(

@@ -924,3 +924,35 @@ def test_sorted_pick_path_statistics_and_equivalence():
     share = np.asarray(w)
     # multinomial se ~ sqrt(p(1-p)/n) <= 0.0055; allow 5 se
     np.testing.assert_allclose(freq, share, atol=0.03)
+
+
+def test_systematic_sorted_pick_matches_sort_path():
+    """Systematic resampling's stratum points are deterministic given the
+    key, so the sorted-pick path (forced via sorted_pick_min=1, including
+    the monotone cummax guard) must produce IDENTICAL proposals to the
+    sort-based path on the same key."""
+    n, keep = 96, 12
+    cfg, params, mets, obs, sim = _linear_gaussian_problem(64)
+    par_set = ParameterSet.from_specs(cfg.parameters)
+    rng = np.random.default_rng(2)
+    prev = (
+        jnp.asarray(rng.uniform(0.2, 0.8, (keep, 6))),
+        jnp.asarray(rng.uniform(0.5, 1.5, keep)),
+        jnp.full((6,), 0.01),
+    )
+    key = jax.random.PRNGKey(13)
+    res = {}
+    for gate in (1, 1 << 40):
+        gen = ShardedGeneration(
+            par_set, ParameterTransform(cfg.parameters), sim, obs,
+            mesh=particle_mesh(jax.devices()),
+            resample_method="systematic", dtype=jnp.float64,
+        )
+        gen.sorted_pick_min = gate
+        res[gate] = gen.step_precomputed(key, params[:64], mets, keep, n, prev)
+    np.testing.assert_allclose(
+        np.asarray(res[1].next_params), np.asarray(res[1 << 40].next_params),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res[1].next_seeds), np.asarray(res[1 << 40].next_seeds))

@@ -116,6 +116,12 @@ def main():
 
     params, mets = make_data(key)
     sync((params, mets))
+    if args.sim and args.phases:
+        print(json.dumps({
+            "metric": "note", "value":
+            "--sim is ignored with --phases (the two-phase sequence "
+            "measures the precomputed-metrics path)"}), flush=True)
+        args.sim = False
     if args.sim:
         # only the sim-included run consumes seeds; don't let a dead [N]
         # buffer occupy HBM in the modes that exist because HBM is tight
