@@ -42,6 +42,7 @@ def pytest_runtest_setup(item):
         needs_mesh = {
             "test_sharded", "test_multihost", "test_golden",
             "test_weights", "test_pls", "test_stats",
+            "test_scaling_structure",
             # f64-grade parity oracle (rtol 1e-6 vs a numpy NIPALS
             # transcription) - meaningless at f32
             "test_ranking_parity",

@@ -44,8 +44,13 @@ MAX_NDEV = 8
 # sitecustomize latches the TPU platform otherwise; see CLAUDE.md)
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", MAX_NDEV)
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", MAX_NDEV)
+except RuntimeError:
+    # backends already initialized (imported from pytest, whose conftest set
+    # up the 8-device CPU mesh itself) - callers assert the device count
+    pass
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
