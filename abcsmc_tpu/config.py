@@ -222,10 +222,53 @@ def _as_list(val: Any) -> list:
     return [val]
 
 
+# -- typed accessors -----------------------------------------------------
+# The reference reads fields through jsoncpp's asDouble()/asInt()/asString(),
+# which throw Json::LogicError on a type mismatch and abort the run; the
+# library analog is a coded ConfigError. These guarantee no raw KeyError/
+# TypeError/ValueError ever escapes the parser (pinned by
+# tests/test_config_fuzz.py).
+
+def _cfg_req(obj: Any, key: str, ctx: str, code: int | None = 1) -> Any:
+    if not isinstance(obj, dict) or key not in obj:
+        raise ConfigError(f"missing required key '{key}' in {ctx}", code=code)
+    return obj[key]
+
+
+def _cfg_float(val: Any, ctx: str, code: int | None = 1) -> float:
+    # bool/str rejected explicitly (jsoncpp asDouble would throw); numpy
+    # scalars accepted (dict-input configs built programmatically)
+    if not isinstance(val, (bool, str)):
+        try:
+            return float(val)
+        except (TypeError, ValueError):
+            pass
+    raise ConfigError(f"{ctx} must be a number, got {val!r}", code=code)
+
+
+def _cfg_int(val: Any, ctx: str, code: int | None = 1) -> int:
+    if not isinstance(val, (bool, str)):
+        try:
+            out = int(val)
+            if out == val:
+                return out
+        except (TypeError, ValueError, OverflowError):
+            pass
+    raise ConfigError(f"{ctx} must be an integer, got {val!r}", code=code)
+
+
+def _cfg_str(val: Any, ctx: str, code: int | None = 1) -> str:
+    if not isinstance(val, str):
+        raise ConfigError(f"{ctx} must be a string, got {val!r}", code=code)
+    return val
+
+
 def _parse_parameter(mpar: dict) -> ParameterSpec:
     """Parse one parameter object (src/AbcSmc.cpp:213-273)."""
-    name = mpar["name"]
-    short_name = mpar.get("short_name", name)
+    name = _cfg_str(_cfg_req(mpar, "name", "parameter"), "parameter name")
+    short_name = _cfg_str(
+        mpar.get("short_name", name), f"parameter '{name}' short_name"
+    )
     ptype_str = mpar.get("dist_type", "")
     ntype_str = mpar.get("num_type", "")
 
@@ -235,11 +278,16 @@ def _parse_parameter(mpar: dict) -> ParameterSpec:
         )
     num_type = NumType(ntype_str)
 
+    ctx = f"parameter '{name}'"
+
+    def fpar(key):
+        return _cfg_float(_cfg_req(mpar, key, ctx), f"{ctx} {key}")
+
     if ptype_str == "UNIFORM":
         return ParameterSpec(
             name=name, short_name=short_name, dist_type=DistType.UNIFORM,
             num_type=num_type,
-            par1=float(mpar["par1"]), par2=float(mpar["par2"]),
+            par1=fpar("par1"), par2=fpar("par2"),
         )
     if ptype_str in ("NORMAL", "GAUSSIAN"):
         if ntype_str == "INT":
@@ -250,31 +298,50 @@ def _parse_parameter(mpar: dict) -> ParameterSpec:
         return ParameterSpec(
             name=name, short_name=short_name, dist_type=DistType.NORMAL,
             num_type=num_type,
-            par1=float(mpar["par1"]), par2=float(mpar["par2"]),
+            par1=fpar("par1"), par2=fpar("par2"),
         )
     if ptype_str == "PSEUDO":
         if "vals" in mpar:
-            states = tuple(float(v) for v in _as_list(mpar["vals"]))
+            states = tuple(
+                _cfg_float(v, f"{ctx} vals entry")
+                for v in _as_list(mpar["vals"])
+            )
         else:
-            smax = float(mpar["par2"])
-            step = float(mpar.get("step", 1.0))
+            smax = fpar("par2")
+            step = _cfg_float(mpar.get("step", 1.0), f"{ctx} step")
+            s = fpar("par1")
+            # a non-finite or negative step makes the reference's inclusive
+            # grid loop (src/AbcSmc.cpp:252-258) never terminate when
+            # par1 <= par2; reject instead (deliberate deviation)
+            if not all(map(math.isfinite, (s, smax, step))) or step < 0:
+                raise ConfigError(
+                    f"{ctx}: PSEUDO grid par1/par2/step must be finite with "
+                    f"step >= 0 (got par1={s!r}, par2={smax!r}, step={step!r})",
+                    code=1,
+                )
             states_l: list[float] = []
             if step != 0:
                 # inclusive grid with epsilon slack (src/AbcSmc.cpp:252-258)
                 eps = 0.0001
-                s = float(mpar["par1"])
                 while s <= smax + eps * step:
+                    if len(states_l) >= (1 << 24):
+                        raise ConfigError(
+                            f"{ctx}: PSEUDO grid exceeds 2^24 points", code=1
+                        )
                     states_l.append(s)
                     s += step
             else:
-                states_l.append(float(mpar["par1"]))
+                states_l.append(s)
             states = tuple(states_l)
         return ParameterSpec(
             name=name, short_name=short_name, dist_type=DistType.PSEUDO,
             num_type=num_type, values=states,
         )
     if ptype_str == "POSTERIOR":
-        size = int(mpar["par2"]) - int(mpar["par1"]) + 1
+        size = (
+            _cfg_int(_cfg_req(mpar, "par2", ctx), f"{ctx} par2")
+            - _cfg_int(_cfg_req(mpar, "par1", ctx), f"{ctx} par1") + 1
+        )
         return ParameterSpec(
             name=name, short_name=short_name, dist_type=DistType.POSTERIOR,
             num_type=num_type, posterior_size=size,
@@ -307,7 +374,10 @@ def _parse_untransform(
             "transformed_addend", "transformed_factor",
             "untransformed_addend", "untransformed_factor",
         ):
-            names = mparu.get(key, [])
+            names = [
+                _cfg_str(n, f"untransform {key} entry", code=-208)
+                for n in _as_list(mparu.get(key, []))
+            ]
             try:
                 idx_lists[key] = tuple(par_name_idx[n] for n in names)
             except KeyError as e:
@@ -316,8 +386,14 @@ def _parse_untransform(
                 )
         return UntransformSpec(
             func=TransformFunc.LOGISTIC,
-            rescale_min=float(mparu["min"]),
-            rescale_max=float(mparu["max"]),
+            rescale_min=_cfg_float(
+                _cfg_req(mparu, "min", "untransform", code=-208),
+                "untransform min", code=-208,
+            ),
+            rescale_max=_cfg_float(
+                _cfg_req(mparu, "max", "untransform", code=-208),
+                "untransform max", code=-208,
+            ),
             transformed_addend_idx=idx_lists["transformed_addend"],
             transformed_factor_idx=idx_lists["transformed_factor"],
             untransformed_addend_idx=idx_lists["untransformed_addend"],
@@ -331,8 +407,10 @@ def _parse_untransform(
 
 def _parse_metric(mmet: dict) -> MetricSpec:
     """Parse one metric object (src/AbcSmc.cpp:139-154)."""
-    name = mmet["name"]
-    short_name = mmet.get("short_name", name)
+    name = _cfg_str(_cfg_req(mmet, "name", "metric"), "metric name")
+    short_name = _cfg_str(
+        mmet.get("short_name", name), f"metric '{name}' short_name"
+    )
     ntype_str = mmet.get("num_type", "")
     if ntype_str not in ("INT", "FLOAT"):
         raise ConfigError(f"Unknown metric numeric type: {ntype_str}.", code=-209)
@@ -340,7 +418,10 @@ def _parse_metric(mmet: dict) -> MetricSpec:
         name=name,
         short_name=short_name,
         num_type=NumType(ntype_str),
-        value=float(mmet.get("value", math.nan)),
+        value=(
+            _cfg_float(mmet["value"], f"metric '{name}' value")
+            if "value" in mmet else math.nan
+        ),
     )
 
 
@@ -354,15 +435,18 @@ def _parse_iterations(
     """
     if pseudosize != 0:
         # projection mode: all parameters are PSEUDO/POSTERIOR
-        if int(par.get("smc_iterations", 1)) != 1:
+        if _cfg_int(par.get("smc_iterations", 1), "smc_iterations") != 1:
             raise ConfigError(
                 "Cannot use smc_iterations > 1 with ONLY PSEUDO or POSTERIOR "
                 "parameters.",
                 code=-202,
             )
         if "num_samples" in par:
-            checksize = _as_list(par["num_samples"])[0]
-            if int(checksize) != pseudosize:
+            ns_list = _as_list(par["num_samples"])
+            if not ns_list:
+                raise ConfigError("num_samples must not be empty", code=1)
+            checksize = _cfg_int(ns_list[0], "num_samples")
+            if checksize != pseudosize:
                 raise ConfigError(
                     f"`num_samples` ({checksize}) does not match imputed "
                     f"combinations of PSEUDO and/or POSTERIOR parameters "
@@ -381,14 +465,30 @@ def _parse_iterations(
             code=1,
         )
 
-    training_frac = float(par.get("pls_training_fraction", 0.5))
+    training_frac = _cfg_float(
+        par.get("pls_training_fraction", 0.5), "pls_training_fraction"
+    )
     if not (0.0 < training_frac < 1.0):
         raise ConfigError("pls_training_fraction must be in (0, 1).", code=1)
 
-    set_sizes = [int(v) for v in _as_list(par["num_samples"])]
+    set_sizes = [
+        _cfg_int(v, "num_samples")
+        for v in _as_list(_cfg_req(par, "num_samples", "configuration"))
+    ]
+    if not set_sizes or any(s < 1 for s in set_sizes):
+        raise ConfigError(
+            "num_samples must be one or more positive integers", code=1
+        )
 
     if has_frac:
-        ppfs = [float(v) for v in _as_list(par["predictive_prior_fraction"])]
+        ppfs = [
+            _cfg_float(v, "predictive_prior_fraction")
+            for v in _as_list(par["predictive_prior_fraction"])
+        ]
+        if not ppfs:
+            raise ConfigError(
+                "predictive_prior_fraction must not be empty", code=1
+            )
         if not all(0.0 < f <= 1.0 for f in ppfs):
             raise ConfigError(
                 "`predictive_prior_fraction`s must be in (0, 1]", code=1
@@ -401,7 +501,15 @@ def _parse_iterations(
             int(math.floor(f * s + 0.5)) for f, s in zip(ppfs_ext, sizes_ext)
         ]
     else:
-        pred_prior_sizes = [int(v) for v in _as_list(par["predictive_prior_size"])]
+        pred_prior_sizes = [
+            _cfg_int(v, "predictive_prior_size")
+            for v in _as_list(par["predictive_prior_size"])
+        ]
+        if not pred_prior_sizes or any(p < 1 for p in pred_prior_sizes):
+            raise ConfigError(
+                "predictive_prior_size must be one or more positive integers",
+                code=1,
+            )
         max_set = max(len(pred_prior_sizes), len(set_sizes))
         for i in range(max_set):
             pps = pred_prior_sizes[i] if i < len(pred_prior_sizes) else pred_prior_sizes[-1]
@@ -412,9 +520,12 @@ def _parse_iterations(
                     code=1,
                 )
 
-    iterations = int(
-        par.get("smc_iterations", max(len(set_sizes), len(pred_prior_sizes)))
+    iterations = _cfg_int(
+        par.get("smc_iterations", max(len(set_sizes), len(pred_prior_sizes))),
+        "smc_iterations",
     )
+    if iterations < 1:
+        raise ConfigError("smc_iterations must be a positive integer", code=1)
     return iterations, training_frac, set_sizes, pred_prior_sizes, False
 
 
@@ -425,7 +536,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
     """
     if isinstance(source, dict):
         par = source
-    else:
+    elif isinstance(source, (str, os.PathLike)):
         if not os.path.exists(source):
             raise ConfigError(f"File does not exist: {source}", code=1)
         with open(source) as f:
@@ -433,13 +544,31 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
                 par = json.load(f)
             except json.JSONDecodeError as e:
                 raise ConfigError(f"Failed to parse configuration: {e}", code=1)
+        if not isinstance(par, dict):
+            raise ConfigError(
+                f"configuration document must be a JSON object, got "
+                f"{type(par).__name__}",
+                code=1,
+            )
+    else:
+        raise ConfigError(
+            f"configuration must be a filename or a JSON object, got "
+            f"{type(source).__name__}",
+            code=1,
+        )
 
     retain_posterior_rank = bool(par.get("retain_posterior_rank", False))
 
     model_par = par.get("parameters", [])
+    if not isinstance(model_par, list) or not all(
+        isinstance(m, dict) for m in model_par
+    ):
+        raise ConfigError(
+            "'parameters' must be an array of JSON objects", code=1
+        )
     par_name_idx: dict[str, int] = {}
     for i, mpar in enumerate(model_par):
-        nm = mpar["name"]
+        nm = _cfg_str(_cfg_req(mpar, "name", "parameter"), "parameter name")
         if nm in par_name_idx:
             raise ConfigError(f"duplicate parameter name: {nm}", code=None)
         par_name_idx[nm] = i
@@ -483,7 +612,12 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
     if any_posterior and pseudosize != 0:
         pseudosize *= posterior_size
 
-    metrics = [_parse_metric(m) for m in par.get("metrics", [])]
+    model_met = par.get("metrics", [])
+    if not isinstance(model_met, list) or not all(
+        isinstance(m, dict) for m in model_met
+    ):
+        raise ConfigError("'metrics' must be an array of JSON objects", code=1)
+    metrics = [_parse_metric(m) for m in model_met]
 
     (
         num_smc_sets, training_frac, set_sizes, pred_prior_sizes, projection
@@ -521,17 +655,26 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         pls_training_fraction=training_frac,
         noise=NoiseType(noise_str),
         filter=FilterType(filter_str),
-        database_filename=par.get("database_filename", ""),
-        posterior_database_filename=par.get("posterior_database_filename", ""),
-        executable=par.get("executable", ""),
-        shared=par.get("shared", ""),
-        simulator_name=par.get("simulator", ""),
+        database_filename=_cfg_str(
+            par.get("database_filename", ""), "database_filename"
+        ),
+        posterior_database_filename=_cfg_str(
+            par.get("posterior_database_filename", ""),
+            "posterior_database_filename",
+        ),
+        executable=_cfg_str(par.get("executable", ""), "executable"),
+        shared=_cfg_str(par.get("shared", ""), "shared"),
+        simulator_name=_cfg_str(par.get("simulator", ""), "simulator"),
         retain_posterior_rank=retain_posterior_rank,
-        resume_directory=par.get("resume_directory", ""),
-        max_retries=int(par.get("max_retries", 1000)),
+        resume_directory=_cfg_str(
+            par.get("resume_directory", ""), "resume_directory"
+        ),
+        max_retries=_cfg_int(par.get("max_retries", 1000), "max_retries"),
         box_cox=bool(par.get("box_cox", False)),
-        nrmse_tolerance=float(par.get("nrmse_tolerance", 0.0)),
-        pls_optimal_method=str(par.get("pls_optimal_method", "vdv")),
+        nrmse_tolerance=_cfg_float(
+            par.get("nrmse_tolerance", 0.0), "nrmse_tolerance"
+        ),
+        pls_optimal_method=_parse_pls_optimal_method(par),
         resample_method=_parse_resample_method(par),
         weight_precision=_parse_weight_precision(par),
         row_block=_parse_row_block(par),
@@ -539,6 +682,18 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         projection_mode=projection,
         raw=par,
     )
+
+
+def _parse_pls_optimal_method(par: dict) -> str:
+    method = par.get("pls_optimal_method", "vdv")
+    if method not in ("vdv", "tolerance"):
+        # without this, a typo silently fell through the `== "vdv"` branches
+        # (parallel/generation.py, ops/ranking.py) to tolerance selection
+        raise ConfigError(
+            f"pls_optimal_method must be 'vdv' or 'tolerance', got {method!r}",
+            code=1,
+        )
+    return method
 
 
 def _parse_resample_method(par: dict) -> str:
