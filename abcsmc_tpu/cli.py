@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sqlite3
 import sys
 import time
 
@@ -118,6 +119,11 @@ def main(argv: list[str] | None = None) -> int:
     except AbcError as e:
         sys.stderr.write(f"{e}\n")
         return -(e.code or 1) if e.code and e.code < 0 else (e.code or 1)
+    except sqlite3.Error as e:
+        # operational sqlite failures (disk I/O, corruption appearing
+        # mid-run, lock timeout past busy_timeout) - message, not traceback
+        sys.stderr.write(f"database error: {e}\n")
+        return 1
     finally:
         if args.profile_dir:
             import jax

@@ -59,8 +59,22 @@ class SQLiteStorage(Storage):
     # -- connection -------------------------------------------------------------
     def _connect(self) -> sqlite3.Connection:
         if self._conn is None:
-            self._conn = sqlite3.connect(self.path, isolation_level=None)
-            self._conn.execute(f"pragma busy_timeout={self.busy_timeout_ms}")
+            try:
+                conn = sqlite3.connect(self.path, isolation_level=None)
+                # busy_timeout first: the header probe below must WAIT on a
+                # concurrently-locked healthy database, not fail fast
+                conn.execute(f"pragma busy_timeout={self.busy_timeout_ms}")
+                # force the header read NOW: sqlite connects lazily, so a
+                # corrupt / non-database file would otherwise surface as a
+                # raw sqlite3.DatabaseError from whichever query runs first
+                # (the sqdb wrapper's open-time Exception is the reference
+                # analog, lib/sqdb/src/sqdb.cpp)
+                conn.execute("pragma schema_version").fetchone()
+            except sqlite3.Error as e:
+                raise StorageError(
+                    f"cannot open database {self.path!r}: {e}", code=1
+                ) from e
+            self._conn = conn
         return self._conn
 
     def close(self):

@@ -114,3 +114,19 @@ def test_dice_single_die_sd_zero():
     mets = sim.run_batch(np.array([[1.0, 6.0]]), np.array([3]), np.array([0]))
     assert mets[0, 1] == 0.0
     assert 1 <= mets[0, 0] <= 6
+
+
+def test_corrupt_database_file_raises_storage_error(tmp_path):
+    """Opening a non-database file must raise the coded StorageError at
+    connect time, not leak a raw sqlite3.DatabaseError from whichever query
+    happens to run first (the reference's sqdb wrapper throws its own
+    Exception at open, lib/sqdb/src/sqdb.cpp)."""
+    import pytest
+
+    from abcsmc_tpu.errors import StorageError
+    from abcsmc_tpu.storage.sqlite_store import SQLiteStorage
+
+    p = tmp_path / "not_a_db.sqlite"
+    p.write_bytes(b"definitely not an sqlite file" * 40)
+    with pytest.raises(StorageError, match="cannot open database"):
+        SQLiteStorage(str(p))
