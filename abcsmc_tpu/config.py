@@ -250,7 +250,10 @@ def _cfg_int(val: Any, ctx: str, code: int | None = 1) -> int:
     if not isinstance(val, (bool, str)):
         try:
             out = int(val)
-            if out == val:
+            # range-bound like jsoncpp's asInt/asInt64 (throws out-of-range):
+            # a "num_samples": 1e30 must be a config error, not an allocation
+            # failure twenty frames later
+            if out == val and abs(out) < (1 << 62):
                 return out
         except (TypeError, ValueError, OverflowError):
             pass
@@ -281,7 +284,13 @@ def _parse_parameter(mpar: dict) -> ParameterSpec:
     ctx = f"parameter '{name}'"
 
     def fpar(key):
-        return _cfg_float(_cfg_req(mpar, key, ctx), f"{ctx} {key}")
+        v = _cfg_float(_cfg_req(mpar, key, ctx), f"{ctx} {key}")
+        # jsoncpp (strict JSON) cannot represent NaN/Infinity, so the
+        # reference can never reach a non-finite prior bound; Python's
+        # json.load accepts them - reject to match
+        if not math.isfinite(v):
+            raise ConfigError(f"{ctx} {key} must be finite, got {v!r}", code=1)
+        return v
 
     if ptype_str == "UNIFORM":
         return ParameterSpec(
@@ -306,6 +315,12 @@ def _parse_parameter(mpar: dict) -> ParameterSpec:
                 _cfg_float(v, f"{ctx} vals entry")
                 for v in _as_list(mpar["vals"])
             )
+            if not states or not all(map(math.isfinite, states)):
+                raise ConfigError(
+                    f"{ctx}: PSEUDO vals must be a non-empty list of finite "
+                    f"numbers",
+                    code=1,
+                )
         else:
             smax = fpar("par2")
             step = _cfg_float(mpar.get("step", 1.0), f"{ctx} step")
@@ -332,6 +347,13 @@ def _parse_parameter(mpar: dict) -> ParameterSpec:
                     s += step
             else:
                 states_l.append(s)
+            if not states_l:
+                # par1 > par2: the reference's loop body never runs and the
+                # parameter would have zero states - a config error here, not
+                # a downstream shape crash
+                raise ConfigError(
+                    f"{ctx}: PSEUDO grid is empty (par1 > par2)", code=1
+                )
             states = tuple(states_l)
         return ParameterSpec(
             name=name, short_name=short_name, dist_type=DistType.PSEUDO,
@@ -342,6 +364,12 @@ def _parse_parameter(mpar: dict) -> ParameterSpec:
             _cfg_int(_cfg_req(mpar, "par2", ctx), f"{ctx} par2")
             - _cfg_int(_cfg_req(mpar, "par1", ctx), f"{ctx} par1") + 1
         )
+        if size < 1:
+            raise ConfigError(
+                f"{ctx}: POSTERIOR requires par1 <= par2 (index range), got "
+                f"size {size}",
+                code=1,
+            )
         return ParameterSpec(
             name=name, short_name=short_name, dist_type=DistType.POSTERIOR,
             num_type=num_type, posterior_size=size,
@@ -500,6 +528,14 @@ def _parse_iterations(
         pred_prior_sizes = [
             int(math.floor(f * s + 0.5)) for f, s in zip(ppfs_ext, sizes_ext)
         ]
+        if any(p < 1 for p in pred_prior_sizes):
+            # e.g. fraction 0.1 of 4 samples rounds to 0 survivors - the
+            # explicit-size path rejects this, so must the fraction path
+            raise ConfigError(
+                "predictive_prior_fraction rounds to zero survivors for at "
+                "least one set; increase the fraction or num_samples",
+                code=1,
+            )
     else:
         pred_prior_sizes = [
             _cfg_int(v, "predictive_prior_size")

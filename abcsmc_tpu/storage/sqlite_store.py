@@ -59,6 +59,7 @@ class SQLiteStorage(Storage):
     # -- connection -------------------------------------------------------------
     def _connect(self) -> sqlite3.Connection:
         if self._conn is None:
+            conn = None
             try:
                 conn = sqlite3.connect(self.path, isolation_level=None)
                 # busy_timeout first: the header probe below must WAIT on a
@@ -71,6 +72,8 @@ class SQLiteStorage(Storage):
                 # analog, lib/sqdb/src/sqdb.cpp)
                 conn.execute("pragma schema_version").fetchone()
             except sqlite3.Error as e:
+                if conn is not None:
+                    conn.close()  # a retrying caller must not leak the fd
                 raise StorageError(
                     f"cannot open database {self.path!r}: {e}", code=1
                 ) from e

@@ -21,7 +21,14 @@ sys.path.insert(
                     "tools")
 )
 
-from scaling_analysis import analyze, collective_inventory  # noqa: E402
+import functools  # noqa: E402
+
+from scaling_analysis import collective_inventory  # noqa: E402
+from scaling_analysis import analyze as _analyze  # noqa: E402
+
+# both tests need the same (ndev, N, KEEP) compiles - cache them (each is a
+# full XLA compile, ~8 s on this box)
+analyze = functools.lru_cache(maxsize=None)(_analyze)
 
 N, KEEP = 4096, 256
 
@@ -70,13 +77,13 @@ def test_collective_inventory_parser():
     hlo = """
   ar = (f32[13,13]{1,0}, f32[6]{0}) all-reduce(a, b), replica_groups={}
   ag.1 = f32[8,256,6]{2,1,0} all-gather(c), dimensions={0}
-  ag.2 = u32[2048]{0} all-gather-start(d), dimensions={0}
+  ag.2 = (u32[256]{0}, u32[2048]{0}) all-gather-start(d), dimensions={0}
   agd = u32[2048]{0} all-gather-done(ag.2)
   x = f32[4,4]{1,0} add(e, f)
 """
     inv = collective_inventory(hlo)
     assert inv["all-reduce"] == {"count": 1, "bytes": 13 * 13 * 4 + 6 * 4}
-    # -start counted once, matching -done skipped (it has no '(' pattern hit
-    # with a collective opcode before it only via -start)
+    # the async pair is counted once, at -done (the -start result tuple
+    # carries both operand and result buffers and would double-count)
     assert inv["all-gather"]["count"] == 2
     assert inv["all-gather"]["bytes"] == 8 * 256 * 6 * 4 + 2048 * 4

@@ -66,12 +66,14 @@ _DTYPE_BYTES = {
 
 # `f32[50000,6]{1,0}` or `u32[]` (layout suffix optional)
 _SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
-# collectives as they appear post-SPMD-partitioning; -start variants are the
-# async halves (count those, skip the matching -done)
+# collectives as they appear post-SPMD-partitioning. Async pairs are counted
+# at the -done op (whose result shape is the actual payload buffer); the
+# -start op's result is a (operands..., results...) tuple that would
+# double-count bytes.
 _COLL_RE = re.compile(
     r"=\s*(\([^=]*?\)|\S+)\s+"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(-start)?\("
+    r"(-start|-done)?\("
 )
 
 
@@ -93,7 +95,9 @@ def collective_inventory(hlo_text: str) -> dict:
     """Count collective ops and sum their (per-device) payload bytes."""
     inv: dict[str, dict] = {}
     for m in _COLL_RE.finditer(hlo_text):
-        shape_str, kind, _start = m.groups()
+        shape_str, kind, suffix = m.groups()
+        if suffix == "-start":
+            continue  # counted at the matching -done
         e = inv.setdefault(kind, {"count": 0, "bytes": 0})
         e["count"] += 1
         e["bytes"] += _shape_bytes(shape_str)
