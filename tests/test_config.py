@@ -91,6 +91,53 @@ def test_pred_prior_size_exceeding_set_size_rejected():
         parse_config(cfg)
 
 
+def test_nonfinite_prior_bounds_rejected():
+    # jsoncpp (strict JSON) cannot represent NaN/Infinity, so the reference
+    # can never see a non-finite bound; Python's json.load accepts them -
+    # they must be a coded config error, not a downstream NaN
+    base = json.load(open(REFERENCE_JSON))
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        cfg = json.loads(json.dumps(base))
+        cfg["parameters"][0]["par2"] = None  # placeholder, patch below
+        cfg["parameters"][0]["par2"] = bad
+        with pytest.raises(ConfigError):
+            parse_config(cfg)
+
+
+def test_out_of_range_int_rejected():
+    # jsoncpp asInt64 throws out-of-range; "num_samples": 1e30 must be a
+    # config error, not an allocation failure twenty frames later
+    base = json.load(open(REFERENCE_JSON))
+    cfg = dict(base)
+    cfg["num_samples"] = 1e30
+    with pytest.raises(ConfigError):
+        parse_config(cfg)
+
+
+def test_empty_pseudo_grid_rejected():
+    base = json.load(open(PSEUDO_JSON))
+    # par1 > par2: reference loop body never runs -> zero states
+    cfg = json.loads(json.dumps(base))
+    cfg["parameters"][0].update(par1=5, par2=1)
+    with pytest.raises(ConfigError):
+        parse_config(cfg)
+    # explicit vals list: empty or non-finite entries rejected
+    cfg = json.loads(json.dumps(base))
+    cfg["parameters"][1]["vals"] = []
+    with pytest.raises(ConfigError):
+        parse_config(cfg)
+
+
+def test_zero_survivor_fraction_rejected():
+    # fraction small enough to round to 0 survivors must fail at parse like
+    # the explicit-size path does
+    base = json.load(open(REFERENCE_JSON))
+    cfg = dict(base)
+    cfg["predictive_prior_fraction"] = 0.001  # 0.3 of 300 -> rounds to 0
+    with pytest.raises(ConfigError):
+        parse_config(cfg)
+
+
 def test_projection_iteration_conflicts():
     base = json.load(open(PSEUDO_JSON))
     cfg = dict(base)
