@@ -130,3 +130,57 @@ def test_corrupt_database_file_raises_storage_error(tmp_path):
     p.write_bytes(b"definitely not an sqlite file" * 40)
     with pytest.raises(StorageError, match="cannot open database"):
         SQLiteStorage(str(p))
+
+
+def test_cli_corrupt_database_returns_error_code(tmp_path, capsys):
+    """The CLI surfaces a corrupt/non-database file as a one-line coded
+    error (the StorageError path), never a traceback."""
+    import json
+
+    from abcsmc_tpu.cli import main
+
+    bad = tmp_path / "corrupt.sqlite"
+    bad.write_bytes(b"definitely not an sqlite file" * 40)
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps({
+        "smc_iterations": 1,
+        "num_samples": 8,
+        "predictive_prior_fraction": 0.5,
+        "parameters": [{"name": "x", "dist_type": "UNIFORM",
+                        "num_type": "FLOAT", "par1": 0, "par2": 1}],
+        "metrics": [{"name": "m", "num_type": "FLOAT", "value": 0.5}],
+        "database_filename": str(bad),
+    }))
+    rc = main([str(cfg_path), "--process"])
+    assert rc == 1
+    assert "cannot open database" in capsys.readouterr().err
+
+
+def test_cli_operational_sqlite_error_backstop(tmp_path, capsys, monkeypatch):
+    """Mid-run operational sqlite failures (disk I/O, lock timeout past
+    busy_timeout) that are not wrapped in AbcError exit with a one-line
+    'database error:' message, not a traceback."""
+    import json
+    import sqlite3
+
+    from abcsmc_tpu import cli as cli_mod
+    from abcsmc_tpu.cli import main
+
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps({
+        "smc_iterations": 1,
+        "num_samples": 8,
+        "predictive_prior_fraction": 0.5,
+        "parameters": [{"name": "x", "dist_type": "UNIFORM",
+                        "num_type": "FLOAT", "par1": 0, "par2": 1}],
+        "metrics": [{"name": "m", "num_type": "FLOAT", "value": 0.5}],
+        "database_filename": str(tmp_path / "ok.sqlite"),
+    }))
+
+    def boom(self, seed=0, verbose=False):
+        raise sqlite3.OperationalError("disk I/O error")
+
+    monkeypatch.setattr(cli_mod.AbcSmc, "process_database", boom)
+    rc = main([str(cfg_path), "--process"])
+    assert rc == 1
+    assert "database error: disk I/O error" in capsys.readouterr().err
