@@ -175,12 +175,20 @@ class AbcSmc:
         """Create the store + enqueue generation 0 if it doesn't exist
         (src/AbcSmc.cpp:810-874). Returns True if it created it."""
         if self.storage.exists():
-            return False
-        self.storage.create(
-            self.par_set.short_names(),
-            [m.short_name for m in self.metrics],
-            self.transform.has_any,
-        )
+            if not self.storage.is_empty():
+                return False
+            # tables exist but no generation was ever enqueued: table
+            # creation and the generation-0 insert are separate
+            # transactions, so a crash between them leaves this state.
+            # Repair by enqueueing generation 0 into the existing tables
+            # (without this, process_database would index into empty
+            # weight/survivor state and crash on resume).
+        else:
+            self.storage.create(
+                self.par_set.short_names(),
+                [m.short_name for m in self.metrics],
+                self.transform.has_any,
+            )
         key = self._key(seed)
         k_par, k_seed = jax.random.split(key)
         n = self.config.smc_size_at(0)

@@ -73,6 +73,15 @@ class Storage:
     def create(self, par_names: list[str], met_names: list[str], has_upar: bool):
         raise NotImplementedError
 
+    def is_empty(self) -> bool:
+        """True when the store holds no particle rows. Tables may already
+        exist: ``create()`` and the first ``insert_generation`` are separate
+        transactions, so a crash between them leaves an existing-but-empty
+        store (the engine repairs that state by enqueueing generation 0,
+        matching the reference's build-on-open behavior at
+        src/AbcSmc.cpp:810-874)."""
+        return not self.exists() or len(self.read_generations()) == 0
+
     def insert_generation(
         self,
         set_num: int,

@@ -46,6 +46,9 @@ class MemoryStorage(Storage):
         self.met_names = list(met_names)
         self.has_upar = has_upar
 
+    def is_empty(self) -> bool:
+        return not self.serial
+
     def insert_generation(
         self, set_num, params, seeds, upars=None, posterior_ranks=None
     ):

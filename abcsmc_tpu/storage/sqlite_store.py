@@ -110,6 +110,18 @@ class SQLiteStorage(Storage):
             _tables_exist(conn, ["jobs", "parameters", "metrics"])
         )
 
+    def is_empty(self) -> bool:
+        if not self.exists():
+            return True
+        if not self.par_names:
+            # tables appeared after this object's construction (another
+            # process created them); resolve names before any repair insert
+            self._load_schema_if_present()
+        conn = self._connect()
+        return conn.execute(
+            f"select exists(select 1 from {self._job})"
+        ).fetchone()[0] == 0
+
     def create(self, par_names, met_names, has_upar):
         self._job, self._par, self._met = JOB_TABLE, PAR_TABLE, MET_TABLE
         self.par_names = list(par_names)

@@ -218,3 +218,73 @@ def test_sigkill_native_pool_reclaim_and_finish(tmp_path):
     nulls = conn.execute("select count(*) from met where m0 is null").fetchone()
     assert nulls[0] == 0
     conn.close()
+
+
+def test_resume_from_create_crash_window(tmp_path):
+    """A crash between storage.create() and the generation-0 insert (two
+    separate transactions) leaves a database with tables but zero rows.
+    Both engines must repair that state by enqueueing generation 0 -
+    previously process_database indexed into empty survivor/weight state
+    (IndexError) on such a store."""
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+    from abcsmc_tpu.storage import SQLiteStorage
+
+    cfg = {
+        "smc_iterations": 2,
+        "num_samples": 64,
+        "predictive_prior_fraction": 0.25,
+        "database_filename": str(tmp_path / "crashwin.sqlite"),
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.4},
+        ],
+    }
+    sim = make_dice_simulator(max_dice=50)
+
+    # simulate the crash: tables created, generation 0 never enqueued
+    abc0 = AbcSmc(cfg, simulator=sim)
+    abc0.storage.create(
+        abc0.par_set.short_names(),
+        [m.short_name for m in abc0.metrics],
+        abc0.transform.has_any,
+    )
+    assert abc0.storage.exists() and abc0.storage.is_empty()
+    abc0.storage.close()
+
+    # host engine resumes: build_database repairs (returns True), then the
+    # normal loop completes the run
+    abc1 = AbcSmc(cfg, simulator=sim)
+    assert abc1.build_database(seed=1) is True
+    abc1.run(seed=1)
+    gens = abc1.storage.read_generations()
+    assert len(gens) == 2 and all(g.complete for g in gens)
+    abc1.storage.close()
+
+    # device engine resumes from the same crash-window state
+    db2 = str(tmp_path / "crashwin_dev.sqlite")
+    cfg2 = dict(cfg, database_filename=db2)
+    abc2 = AbcSmc(cfg2, simulator=sim)
+    abc2.storage.create(
+        abc2.par_set.short_names(),
+        [m.short_name for m in abc2.metrics],
+        abc2.transform.has_any,
+    )
+    abc2.storage.close()
+    abc3 = AbcSmc(cfg2, simulator=sim)
+    abc3.run_device(seed=1)
+    gens = abc3.storage.read_generations()
+    assert len(gens) == 2 and all(g.complete for g in gens)
+    abc3.storage.close()
+    # sanity on the second backend too
+    from abcsmc_tpu.storage import MemoryStorage
+
+    ms = MemoryStorage()
+    assert ms.is_empty()
+    ms.create(["a"], ["m"], False)
+    assert ms.exists() and ms.is_empty()
