@@ -22,7 +22,7 @@ import numpy as np
 
 from abcsmc_tpu import reports
 from abcsmc_tpu.config import FilterType, NoiseType, SmcConfig, parse_config
-from abcsmc_tpu.errors import SimulatorError, StorageError
+from abcsmc_tpu.errors import AbcError, SimulatorError, StorageError
 from abcsmc_tpu.models.metrics import Metric, observed_vector
 from abcsmc_tpu.models.parameters import ParameterSet
 from abcsmc_tpu.models.simulators import Simulator, resolve_simulator
@@ -151,6 +151,51 @@ class AbcSmc:
         return cls(cfg, simulator=simulator, storage=storage)
 
     # ------------------------------------------------------------------ utils
+    @staticmethod
+    def _proc0() -> bool:
+        """True on the coordinator process (process_index 0), which is the
+        single writer of all deterministic-replicated store mutations on a
+        multi-process (jax.distributed) mesh. The reference's analog is one
+        durable store shared by many OS processes (src/AbcSmc.cpp:877-965);
+        there the writes are *disjoint claims* arbitrated by EXCLUSIVE
+        transactions, but the device path's writes are REPLICATED (every
+        process computes identical generations), so without this gate every
+        process of a mesh would race to mirror the same rows. Single-process
+        sessions (jax.distributed never initialized) are always process 0."""
+        return jax.process_index() == 0
+
+    def _store_writer(self) -> bool:
+        """True when THIS process performs the engine's replicated store
+        mutations: process 0 for shared stores, every process for
+        process-private ones (each then holds its own identical copy)."""
+        return self._proc0() or not getattr(self.storage, "shared", True)
+
+    @staticmethod
+    def _mesh_sync():
+        """Barrier across all processes of a multi-process mesh: returns
+        after every process reached it, so a store write by process 0
+        before the barrier is visible to every process's read after it
+        (the shared SQLite file is the cross-process medium, exactly the
+        reference's deployment model). No-op single-process."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("abcsmc_tpu.engine")
+
+    @staticmethod
+    def _fetch_global(tree, mesh):
+        """device_get that works on multi-process meshes: sharded leaves of
+        a global mesh are not fully addressable per process, so replicate
+        them first with a jitted identity (an all-gather riding the mesh
+        interconnect), then fetch. Single-process: plain device_get."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        replicated = jax.jit(lambda t: t, out_shardings=rep)(tree)
+        return jax.device_get(replicated)
+
     @property
     def npar(self) -> int:
         return self.config.npar
@@ -173,7 +218,13 @@ class AbcSmc:
     # ------------------------------------------------------------ build (gen 0)
     def build_database(self, seed: int = 0, verbose: bool = False) -> bool:
         """Create the store + enqueue generation 0 if it doesn't exist
-        (src/AbcSmc.cpp:810-874). Returns True if it created it."""
+        (src/AbcSmc.cpp:810-874). Returns True if it created it.
+
+        Multi-process meshes: only the store-writer process mutates the
+        shared store; the others return the SAME decision (control-flow
+        lockstep) without writing - callers that need the written rows
+        barrier via :meth:`_mesh_sync` before re-reading."""
+        repairing = False
         if self.storage.exists():
             if not self.storage.is_empty():
                 return False
@@ -183,7 +234,29 @@ class AbcSmc:
             # Repair by enqueueing generation 0 into the existing tables
             # (without this, process_database would index into empty
             # weight/survivor state and crash on resume).
+            repairing = True
+            # before inserting into a schema this engine did not create,
+            # verify it actually matches the config - an equal-count schema
+            # with different column names would otherwise be silently
+            # populated under the wrong columns, and a count mismatch would
+            # surface as a raw sqlite binding error
+            want_par = list(self.par_set.short_names())
+            want_met = [m.short_name for m in self.metrics]
+            have_par = list(getattr(self.storage, "par_names", want_par))
+            have_met = list(getattr(self.storage, "met_names", want_met))
+            if have_par != want_par or have_met != want_met:
+                raise StorageError(
+                    "existing (empty) database schema does not match the "
+                    f"configuration: par columns {have_par} vs config "
+                    f"{want_par}; met columns {have_met} vs config "
+                    f"{want_met}",
+                    code=1,
+                )
+            if not self._store_writer():
+                return True  # the writer repairs; same decision, no write
         else:
+            if not self._store_writer():
+                return True  # the writer creates; same decision, no write
             self.storage.create(
                 self.par_set.short_names(),
                 [m.short_name for m in self.metrics],
@@ -205,7 +278,14 @@ class AbcSmc:
             np.asarray(post_ranks, np.int64)
             if (self.config.retain_posterior_rank and len(post_ranks)) else None
         )
-        self.storage.insert_generation(0, params, seeds, upars, ranks)
+        serials = self.storage.insert_generation(
+            0, params, seeds, upars, ranks, if_empty=repairing
+        )
+        if serials is None:
+            # another worker repaired the crash window between our emptiness
+            # check and the insert transaction; behave as if the database
+            # already existed (the caller then reads it like any other store)
+            return False
         return True
 
     # ------------------------------------------------------------------ process
@@ -230,8 +310,9 @@ class AbcSmc:
         next_set = len(gens)
         last_set = next_set - 1
 
-        reports.report_convergence_data(self, last_set)
-        sys.stderr.write("\n\n")
+        if self._proc0():
+            reports.report_convergence_data(self, last_set)
+            sys.stderr.write("\n\n")
 
         t0 = time.perf_counter()
         self._stopped_early = (
@@ -241,6 +322,10 @@ class AbcSmc:
             # convergence-based early stop (extension): don't enqueue the
             # next generation at all, so no dangling 'Q' set lands in the
             # store and any --all loop or worker fleet drains naturally
+            pass
+        elif self.config.num_smc_sets > next_set and not self._store_writer():
+            # non-writer process of a multi-process mesh: the writer
+            # proposes + enqueues; callers barrier (_mesh_sync) and re-read
             pass
         elif self.config.num_smc_sets > next_set:
             key = self._key(seed)
@@ -280,7 +365,7 @@ class AbcSmc:
                 if self.transform.has_any else None
             )
             self.storage.insert_generation(next_set, params, seeds, upars)
-        else:
+        elif self._proc0():
             sys.stderr.write(
                 f"Database already contains {self.config.num_smc_sets} "
                 "complete sets.\n"
@@ -349,12 +434,14 @@ class AbcSmc:
             keep = self.config.pred_prior_size_at(t)
             surv = np.asarray(order)[:keep]
             self._predictive_prior.append(surv)
-            self.storage.write_posterior_ranks(
-                gen.serials[surv], np.arange(keep)
-            )
-            reports.filtering_report(
-                self, t, gen.params[surv], gen.metrics[surv]
-            )
+            if self._store_writer():
+                self.storage.write_posterior_ranks(
+                    gen.serials[surv], np.arange(keep)
+                )
+            if self._proc0():
+                reports.filtering_report(
+                    self, t, gen.params[surv], gen.metrics[surv]
+                )
         self._calculate_predictive_prior_weights(t)
 
     def _rank_particles(self, mets: np.ndarray, pars: np.ndarray) -> np.ndarray:
@@ -597,8 +684,12 @@ class AbcSmc:
             if n_complete == len(gens):
                 # store ended exactly at a set boundary: the host brain
                 # ingests state, reports, honors early stopping, and enqueues
-                # the next set (or declares the run finished)
+                # the next set (or declares the run finished). On a
+                # multi-process mesh every process runs the brain (identical
+                # host math, writes gated to the store writer); the barrier
+                # makes the writer's enqueue visible before the re-read.
                 self.process_database(seed, verbose)
+                self._mesh_sync()  # writer's enqueue/ranks visible to all
                 if getattr(self, "_stopped_early", False):
                     return self
                 gens = self.storage.read_generations()
@@ -639,22 +730,39 @@ class AbcSmc:
         # them into a single launch. Only for fresh runs (no resume state),
         # uniform (n, keep) across sets, no NRMSE early stop, and a bounded
         # full-history HBM bill (the stacked [G, N, P+M+1] population copy).
-        sizes = {cfg.smc_size_at(t) for t in range(cfg.num_smc_sets)}
-        keeps = {cfg.pred_prior_size_at(t) for t in range(cfg.num_smc_sets)}
-        hist_bytes = (
-            cfg.num_smc_sets * gen._padded(max(sizes))
+        n_sets = cfg.num_smc_sets
+        sizes_list = [cfg.smc_size_at(t) for t in range(n_sets)]
+        keeps_list = [cfg.pred_prior_size_at(t) for t in range(n_sets)]
+        sizes, keeps = set(sizes_list), set(keeps_list)
+        hist_bytes = sum(
+            gen._padded(n_t)
             * (self.par_set.npar + len(self.metrics) + 1)
             * jnp.dtype(gen.dtype).itemsize
+            for n_t in sizes_list
         )
-        use_scan = (
+        any_split = any(
+            gen.split_propose_active(
+                sizes_list[t],
+                sizes_list[t + 1] if t + 1 < n_sets else 0,
+            )
+            for t in range(n_sets)
+        )
+        fused_ok = (
             pending is None and t0 == 0
             and not cfg.nrmse_tolerance
-            and len(sizes) == 1 and len(keeps) == 1
             and hist_bytes <= 256 * 2**20
             # HBM-bound (or force-split) runs need the sequential loop's
             # rank -> mirror -> free -> propose ordering
-            and not gen.split_propose_active(max(sizes), max(sizes))
+            and not any_split
         )
+        use_scan = fused_ok and len(sizes) == 1 and len(keeps) == 1
+        # varying set sizes (the reference quick-start's [300, 500, 500,
+        # 750, 1000...] schedule, examples/reference.json:2-4): bucketed
+        # sub-scans collapse same-shape runs into single dispatches
+        # (ShardedGeneration.run_chain) - the per-set launch cost on a
+        # tunneled backend falls from one RPC per set to one per size
+        # transition
+        use_chain = fused_ok and not use_scan
 
         pending_mets = None
         if pending is not None:
@@ -687,9 +795,10 @@ class AbcSmc:
                     )
                 pending_mets = jnp.asarray(merged, gen.dtype)
         else:
-            if not use_scan:
-                # run_scan performs this exact split + init itself, so the
-                # fast path must leave the key unconsumed (chain parity)
+            if not (use_scan or use_chain):
+                # run_scan / run_chain perform this exact split + init
+                # themselves, so the fast paths must leave the key
+                # unconsumed (chain parity)
                 key, k0 = jax.random.split(key)
                 params, seeds = gen.init_population(k0, cfg.smc_size_at(0))
             pending_serials = None
@@ -709,11 +818,16 @@ class AbcSmc:
         results = []
         pops = []
         hist = None
+        chain_hist = None
         t_dispatch0 = time.perf_counter()
         if use_scan:
             n0, keep0 = next(iter(sizes)), next(iter(keeps))
             _last, hist = gen.run_scan(
                 key, n0, keep0, cfg.num_smc_sets, full_history=True
+            )
+        elif use_chain:
+            _state, chain_hist = gen.run_chain(
+                key, sizes_list, keeps_list, full_history=True
             )
         else:
             for t in range(t0, cfg.num_smc_sets):
@@ -751,10 +865,10 @@ class AbcSmc:
                     # program runs (and before the next generation exists) -
                     # retaining every generation like the fast path does
                     # would also accumulate O(G * N) HBM at these shapes
-                    host = jax.device_get((
+                    host = self._fetch_global((
                         params, seeds, res.metrics, res.survivor_idx,
                         res.weights, res.doubled_variance, res.ncomp_used,
-                    ))
+                    ), mesh)
                     pops.append(host[:3])
                     results.append(_SlimResult(*host[3:]))
                     del params, seeds, res
@@ -785,21 +899,29 @@ class AbcSmc:
         t_mirror0 = time.perf_counter()
         if hist is not None:
             (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
-             pars_a, seeds_a, mets_a) = jax.device_get(hist)
+             pars_a, seeds_a, mets_a) = self._fetch_global(hist, mesh)
             fetched = [
                 (pars_a[g], seeds_a[g], mets_a[g], sidx[g], w_a[g],
                  dv_a[g], ncomp_a[g])
                 for g in range(cfg.num_smc_sets)
             ]
+        elif chain_hist is not None:
+            # run_chain history layout: (sidx, spar, smet, w, dv, ncomp,
+            # params, seeds, metrics) per set -> the mirror-tuple order
+            fetched = self._fetch_global([
+                (h[6], h[7], h[8], h[0], h[3], h[4], h[5])
+                for h in chain_hist
+            ], mesh)
         else:
-            fetched = jax.device_get([
+            fetched = self._fetch_global([
                 (
                     pars_d, seeds_d, mets_d, res.survivor_idx, res.weights,
                     res.doubled_variance, res.ncomp_used,
                 )
                 for res, (pars_d, seeds_d, mets_d) in zip(results, pops)
-            ])
-        if mirror_store and not self.storage.exists():
+            ], mesh)
+        mirror_here = mirror_store and self._store_writer()
+        if mirror_here and not self.storage.exists():
             self.storage.create(
                 self.par_set.short_names(),
                 [m.short_name for m in self.metrics],
@@ -815,7 +937,7 @@ class AbcSmc:
             surv = np.asarray(surv_h, np.int64)
             ranks = np.full(len(pars_np), -1, np.int64)
             ranks[surv] = np.arange(len(surv))
-            if mirror_store and t == t0 and pending_serials is not None:
+            if mirror_here and t == t0 and pending_serials is not None:
                 # resumed set: rows already exist - guarded writeback (rows
                 # already 'D' keep their stored metrics: first-write-wins)
                 # then rank updates
@@ -825,7 +947,7 @@ class AbcSmc:
                     np.full(n_rows, int(time.time())), np.zeros(n_rows),
                 )
                 self.storage.write_posterior_ranks(pending_serials, ranks)
-            elif mirror_store:
+            elif mirror_here:
                 upars = (
                     np.asarray(
                         self.transform.to_model_space(pars_np), np.float64
@@ -842,13 +964,31 @@ class AbcSmc:
             self._doubled_variance.append(np.asarray(dv_h, np.float64))
             # selection observability (ncomp collapsing to 1 on structured
             # data is a silent statistical failure; see VERDICT r2 #1)
+            ncomp_val = int(np.asarray(ncomp_h))
+            if ncomp_val < 0:
+                # the fused step's in-program U0 self-check fired
+                # (parallel/generation.py "RUNTIME SELF-CHECK"): the van der
+                # Voet moment matmul read corrupted operand data - the
+                # XLA:TPU fusion miscompile signature. Selection for this
+                # generation is invalid; fail the run loudly rather than
+                # mirror silently-degraded posteriors into the store.
+                raise AbcError(
+                    f"set {t}: PLS component selection self-check failed "
+                    f"(ncomp_used={ncomp_val}): the van der Voet moment "
+                    "matmul produced a negative sum-of-squares, the XLA "
+                    "fusion-miscompile signature (docs/DESIGN.md 'The vdv "
+                    "fusion miscompile'). Re-run with "
+                    "pls_optimal_method='tolerance' or on the CPU backend, "
+                    "and report the XLA version.",
+                )
             self.timings.append({
                 "op": "device_generation", "set": t,
-                "ncomp_used": int(np.asarray(ncomp_h)),
+                "ncomp_used": ncomp_val,
             })
-            reports.filtering_report(
-                self, t, pars_np[surv], mets_np[surv]
-            )
+            if self._proc0():
+                reports.filtering_report(
+                    self, t, pars_np[surv], mets_np[surv]
+                )
         # phase observability: at small populations on a remote tunnel the
         # dispatch loop (per-set program launches) and the mirror loop
         # (device->host fetch + store writes + reports) dominate over compute;
@@ -858,32 +998,89 @@ class AbcSmc:
             "dispatch_s": round(t_dispatch, 4),
             "mirror_s": round(time.perf_counter() - t_mirror0, 4),
         })
-        reports.report_convergence_data(self, t0 + len(fetched) - 1)
+        if self._proc0():
+            reports.report_convergence_data(self, t0 + len(fetched) - 1)
+        # every process may read the store after run_device returns; the
+        # barrier publishes the writer's mirror first
+        self._mesh_sync()
         return self
+
+    @staticmethod
+    def _broadcast_flag(value: bool) -> bool:
+        """Process-0's boolean on every process of a multi-process mesh
+        (loop-control lockstep: an early stop decided by the brain must
+        break every process's loop, or the others deadlock waiting for the
+        next collective). No-op single-process."""
+        if jax.process_count() == 1:
+            return value
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.broadcast_one_to_all(np.asarray(value)))
 
     def _run_device_projection(self, seed: int, mesh, verbose: bool):
         """Projection sweeps (PSEUDO/POSTERIOR grids, src/AbcSmc.cpp:54-137,
         341-396) on the device path: the population is built by the host
         odometer exactly as --process would (order parity with ParRNG.h:17-36),
         then each set is simulated as ONE mesh-sharded XLA program instead of
-        claim-sized host batches."""
+        claim-sized host batches.
+
+        Multi-process meshes: the store writer runs the brain (enqueue /
+        read); a barrier publishes each enqueue before the lockstep SPMD
+        simulate, in which EVERY process participates with the identical
+        serial-ordered batch (claim by the writer, read-only view by the
+        rest - see _device_simulate_all). Non-writers ingest the finished
+        store at the end so posterior surfaces agree everywhere."""
         cfg = self.config
         for t in range(cfg.num_smc_sets):
-            self.process_database(seed + t, verbose)
-            if getattr(self, "_stopped_early", False):
+            if self._store_writer():
+                self.process_database(seed + t, verbose)
+            stop = self._broadcast_flag(
+                bool(getattr(self, "_stopped_early", False))
+            )
+            self._mesh_sync()
+            if stop:
                 return self
             self._device_simulate_all(mesh)
-        self.process_database(seed + cfg.num_smc_sets, verbose)
+            self._mesh_sync()
+        if self._store_writer():
+            self.process_database(seed + cfg.num_smc_sets, verbose)
+        self._mesh_sync()
+        if not self._store_writer():
+            # read-only final ingest: fills the in-memory posterior state
+            # from the (now complete) shared store; all writes are gated off
+            self.process_database(seed + cfg.num_smc_sets, verbose)
         return self
 
     def _device_simulate_all(self, mesh):
         """Claim every runnable job and simulate the batch as one sharded
         program over the mesh (the device-side analog of
-        simulate_next_particles(n=-1))."""
+        simulate_next_particles(n=-1)).
+
+        Multi-process meshes (shared store): the simulate is a collective
+        program, so every process must participate with IDENTICAL global
+        arrays - process 0 claims (EXCLUSIVE transaction, reference
+        semantics) and the rest take the read-only view of the same rows
+        after a barrier, both serial-ordered; only the writer writes back
+        (guarded, first-write-wins as ever)."""
         from abcsmc_tpu.parallel.generation import sharded_simulate
 
+        multiproc = jax.process_count() > 1 and getattr(
+            self.storage, "shared", True
+        )
         t0 = time.perf_counter()
-        claimed = self.storage.claim_jobs(-1)
+        if not multiproc:
+            claimed = self.storage.claim_jobs(-1)
+        elif self._proc0():
+            claimed = self.storage.claim_jobs(-1)
+            order = np.argsort(claimed.serials)  # align with read_runnable
+            claimed = type(claimed)(
+                serials=claimed.serials[order], seeds=claimed.seeds[order],
+                params=claimed.params[order],
+            )
+            self._mesh_sync()
+        else:
+            self._mesh_sync()  # the writer's claim happens-before this read
+            claimed = self.storage.read_runnable()
         t_claim = time.perf_counter() - t0
         if claimed.serials.size == 0:
             return
@@ -907,10 +1104,12 @@ class AbcSmc:
             mets[bad] = np.finfo(np.float64).tiny
         nrun = len(claimed.serials)
         t0 = time.perf_counter()
-        self.storage.write_results(
-            claimed.serials, mets,
-            np.full(nrun, int(start)), np.full(nrun, t_sim / max(nrun, 1)),
-        )
+        if self._store_writer():
+            self.storage.write_results(
+                claimed.serials, mets,
+                np.full(nrun, int(start)),
+                np.full(nrun, t_sim / max(nrun, 1)),
+            )
         self.timings.append({
             "op": "simulate_device", "n": nrun, "claim_s": round(t_claim, 4),
             "sim_s": round(t_sim, 4),

@@ -516,7 +516,11 @@ class ParameterSet:
 
         def draw(k):
             eps = jax.random.normal(k, mu.shape, mu.dtype)
-            return self.recast(mu + eps @ L.T)
+            # explicit full-f32: the ABCSMC_MATMUL_PRECISION opt-out must
+            # not round the proposal covariance's Cholesky application
+            return self.recast(mu + jnp.matmul(
+                eps, L.T, precision=jax.lax.Precision.HIGHEST
+            ))
 
         def cond(state):
             _, accepted, _, attempts = state

@@ -64,7 +64,18 @@ class PLSModel:
 
 
 def _fit_gram(xtx, xty, ncomp: int):
-    """Dayal & MacGregor improved kernel PLS #1 on Gram matrices."""
+    """Dayal & MacGregor improved kernel PLS #1 on Gram matrices.
+
+    Traced under explicit HIGHEST matmul precision: the per-component
+    iteration runs on tiny (m x m / m x p) matrices whose bf16 input
+    rounding would corrupt the deflation chain, and the documented
+    ABCSMC_MATMUL_PRECISION opt-out (for neural simulators) must not
+    reach the fit (docs/PARITY.md "Precision policy")."""
+    with jax.default_matmul_precision("highest"):
+        return _fit_gram_impl(xtx, xty, ncomp)
+
+
+def _fit_gram_impl(xtx, xty, ncomp: int):
     m = xtx.shape[0]
     p = xty.shape[1]
     dtype = xtx.dtype

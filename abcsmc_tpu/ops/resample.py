@@ -110,7 +110,15 @@ def sample_mvn_predictive_priors(
 @jax.jit
 def setup_mvn_sampler(params):
     """Cholesky factor of the survivors' covariance with doubled *diagonal only*
-    (parity quirk: src/AbcUtil.cpp:462-488 doubles just the diagonal)."""
+    (parity quirk: src/AbcUtil.cpp:462-488 doubles just the diagonal).
+
+    Divisor audit (docs/PARITY.md "MVN covariance divisor"): the reference
+    calls gsl_ran_multivariate_gaussian_vcov with a source comment claiming
+    a "maximum likelihood estimate" (src/AbcUtil.cpp:471-473), but GSL's
+    implementation (randist/mvgauss.c) computes sigma = X~'X~ / (M - 1) -
+    the UNBIASED n-1 estimator, matching RunningStat::Variance()
+    (include/AbcSmc/RunningStat.h:44-46) on the INDEPENDENT path. Pinned to
+    n-1 here (and in parallel.generation's fused proposal)."""
     params = jnp.asarray(params)
     n = params.shape[0]
     centered = params - jnp.mean(params, axis=0)[None, :]

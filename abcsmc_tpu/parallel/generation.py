@@ -37,6 +37,29 @@ from abcsmc_tpu.parallel.mesh import PARTICLE_AXIS
 
 AXIS = PARTICLE_AXIS
 
+# Accuracy-critical dots (covariances, Grams, score projections) are pinned
+# to full-f32 explicitly, so the documented ABCSMC_MATMUL_PRECISION opt-out
+# (meant for heavy neural device-simulators) can only downgrade the USER'S
+# simulator matmuls, never the inference math - mirroring the host path's
+# explicit guards (ops/resample.py, ops/weights.py). bf16 input rounding
+# measured ~1e-2 relative error in covariance/Gram products on v5e
+# (docs/TPU_VALIDATION.md).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _hdot(a, b):
+    """matmul at explicit HIGHEST precision (see _HI note above)."""
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def _vdv_moment_dot(W, rhs):
+    """The van der Voet moment matmul behind its hardware-validated fusion
+    barrier (see the MISCOMPILE GUARD note at the call site). Module-level so
+    the in-program U0 self-check can be exercised by tests injecting a
+    corrupted product (tests/test_sharded.py::test_vdv_miscompile_flag)."""
+    W, rhs = jax.lax.optimization_barrier((W, rhs))
+    return jax.lax.dot(W, rhs, precision=_HI)
+
 
 def _sorted_searchsorted(cdf, q_sorted, n: int):
     """``searchsorted(cdf, q)`` (side='left') for an ASCENDING query vector,
@@ -67,7 +90,10 @@ class GenerationResult:
     doubled_variance: jax.Array  # [P]
     next_params: jax.Array      # [N2, P] [sharded] proposed next generation
     next_seeds: jax.Array       # [N2]    [sharded]
-    ncomp_used: jax.Array       # ()      PLS components used (0 for SIMPLE)
+    ncomp_used: jax.Array       # ()      PLS components used (0 for SIMPLE;
+    #                                     NEGATIVE = the in-program vdv
+    #                                     miscompile self-check fired - treat
+    #                                     the generation as invalid)
 
 
 class ShardedGeneration:
@@ -111,6 +137,7 @@ class ShardedGeneration:
         weight_precision: str = "high",
         row_block: int | None = None,
         propose_split: bool | None = None,
+        topk_two_stage: bool | None = None,
     ):
         if par_set.pseudo_idx or par_set.posterior_idx:
             raise ValueError(
@@ -150,6 +177,10 @@ class ShardedGeneration:
         # peak HBM by never overlapping rank-phase and propose-phase
         # temporaries); True/False force
         self.propose_split = propose_split
+        # global top-K strategy: None = auto (two-stage when the candidate
+        # gather would exceed _TOPK_TWO_STAGE_BYTES per device on a >1-dev
+        # mesh), True/False force. See _topk_two_stage_active.
+        self.topk_two_stage = topk_two_stage
         # resample-pick strategy switch: above this many proposal rows per
         # shard, picks come from pre-sorted uniforms (exponential spacings)
         # + _sorted_searchsorted instead of searchsorted(method="sort") -
@@ -263,7 +294,7 @@ class ShardedGeneration:
         # so mutating it (tests / A-B measurements) must not silently
         # reuse a program compiled under the old threshold
         cache_key = (n_pad, n_true, keep, run_next, first, include_sim,
-                     self.sorted_pick_min)
+                     self.sorted_pick_min, self.topk_two_stage)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             fn = self._build_step(
@@ -373,7 +404,15 @@ class ShardedGeneration:
         if self.noise_type == NoiseType.MULTIVARIATE:
             smean = jnp.mean(surv_par, axis=0)
             centered = surv_par - smean[None, :]
-            sigma = (centered.T @ centered) / max(keep - 1, 1)
+            # explicit full-f32 dot + n-1 divisor: mirrors
+            # ops.resample.setup_mvn_sampler exactly (GSL's
+            # gsl_ran_multivariate_gaussian_vcov divides by M-1 despite the
+            # reference's "maximum likelihood" comment, src/AbcUtil.cpp:471-473;
+            # bf16 input rounding injects ~1e-2 into the covariance, so the
+            # ABCSMC_MATMUL_PRECISION opt-out must not touch this dot)
+            sigma = jnp.matmul(
+                centered.T, centered, precision=jax.lax.Precision.HIGHEST
+            ) / max(keep - 1, 1)
             sigma = sigma + jnp.diag(jnp.diag(sigma))
             L = jnp.linalg.cholesky(sigma)
             nxt = self.par_set.noise_multivariate(
@@ -387,6 +426,39 @@ class ShardedGeneration:
             k_seed, (local_next,), 0, np.iinfo(np.int32).max
         ).astype(jnp.uint32)
         return nxt.astype(self.dtype), nxt_seeds
+
+    # candidate-gather payload (bytes/device) above which the two-stage
+    # top-K pays for itself: the distance-only gather is (P+M)/2-fold
+    # lighter and the row psum is mesh-size-independent, but at small
+    # payloads the single gather is one fused collective and strictly
+    # simpler. 16 MiB ~ the 8-device x 50k-keep dengue shape's 33 MiB
+    # gather (docs/SCALING.md) comfortably above, 1-device runs always
+    # below (they take the single-stage path by the ndev > 1 condition).
+    _TOPK_TWO_STAGE_BYTES = 16 * 2**20
+
+    def _topk_two_stage_active(self, keep: int, local_n: int) -> bool:
+        """True when the global top-K runs as two stages (docs/SCALING.md
+        'What rides the interconnect'): all_gather the candidate DISTANCES
+        (+ local row indices) only, replicate the global top-K decision,
+        then assemble the K survivor rows with one mesh-size-independent
+        psum (each shard contributes exactly its own winners, zeros
+        elsewhere). Per-device traffic drops from O(ndev*K*(P+M)) gather
+        bytes to O(ndev*K*8) + O(K*(P+M)) - the 22x lever the round-3
+        review asked for at pod-scale keeps. Bit-identical to the
+        single-stage path: the same top_k runs on the same gathered
+        distance vector, so ties break identically, and the psum adds
+        exact zeros to exact row values."""
+        if self.topk_two_stage is not None:
+            return bool(self.topk_two_stage)
+        if self.ndev <= 1:
+            return False
+        k_local = min(keep, local_n)
+        itemsize = jnp.dtype(self.dtype).itemsize
+        payload = (
+            self.ndev * k_local
+            * (self.par_set.npar + len(self.obs)) * itemsize
+        )
+        return payload >= self._TOPK_TWO_STAGE_BYTES
 
     def split_propose_active(self, n: int, n_next: int) -> bool:
         """True when a step at (n, n_next) runs its proposal as a separate
@@ -458,6 +530,7 @@ class ShardedGeneration:
             max_comp = min(max_comp, self.max_pls_components)
         max_comp = max(max_comp, 1)
         k_local = min(keep, local_n)
+        two_stage = self._topk_two_stage_active(keep, local_n)
         # NB: closure constants stay as host numpy arrays - embedding a device
         # array in a later trace forces a device fetch at compile time (and
         # tunneled backends can fail it)
@@ -770,10 +843,10 @@ class ShardedGeneration:
                         xt_b = zb * te
                         xtx_a, xty_a, xtx_t, xty_t, yty_a = carry
                         return (
-                            xtx_a + xm_b.T @ xm_b,
-                            xty_a + xm_b.T @ (zpb * tr),
-                            xtx_t + xt_b.T @ xt_b,
-                            xty_t + xt_b.T @ (zpb * te),
+                            xtx_a + _hdot(xm_b.T, xm_b),
+                            xty_a + _hdot(xm_b.T, zpb * tr),
+                            xtx_t + _hdot(xt_b.T, xt_b),
+                            xty_t + _hdot(xt_b.T, zpb * te),
                             yty_a + jnp.sum(zpb * zpb * te, axis=0),
                         ), None
 
@@ -790,16 +863,16 @@ class ShardedGeneration:
                     xty_te = jax.lax.psum(xty_te, AXIS)
                     yty = jax.lax.psum(yty, AXIS)
                     R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
-                    G = R.T @ xty_te                              # [A, p]
-                    H = R.T @ xtx_te @ R                          # [A, A]
+                    G = _hdot(R.T, xty_te)                        # [A, p]
+                    H = _hdot(_hdot(R.T, xtx_te), R)              # [A, A]
                 else:
                     zpar_l = (params_l - pmean) / psd
 
                     # ---- PLS fit on the training rows (Gram psums) ----
                     train = (gidx < n_train).astype(self.dtype)[:, None]
                     xm = zmet_l * train
-                    xtx = jax.lax.psum(xm.T @ xm, AXIS)
-                    xty = jax.lax.psum(xm.T @ (zpar_l * train), AXIS)
+                    xtx = jax.lax.psum(_hdot(xm.T, xm), AXIS)
+                    xty = jax.lax.psum(_hdot(xm.T, zpar_l * train), AXIS)
                     R, _, Q = pls_mod._fit_gram(xtx, xty, max_comp)
 
                     # ---- NEW_DATA CV on the test rows, via Grams ----
@@ -809,11 +882,11 @@ class ShardedGeneration:
                     # tiny test-set Grams - no [N, A, p] residual tensors ever
                     # touch HBM (they dominated this step's bandwidth at 1M
                     # particles).
-                    T_l = zmet_l @ R                              # [ln, A]
+                    T_l = _hdot(zmet_l, R)                        # [ln, A]
                     test = vmask - train  # held-out rows, padding excluded
                     Tt = T_l * test
-                    G = jax.lax.psum(Tt.T @ (zpar_l * test), AXIS)  # [A, p]
-                    H = jax.lax.psum(Tt.T @ Tt, AXIS)               # [A, A]
+                    G = jax.lax.psum(_hdot(Tt.T, zpar_l * test), AXIS)  # [A, p]
+                    H = jax.lax.psum(_hdot(Tt.T, Tt), AXIS)             # [A, A]
                     yty = jax.lax.psum(
                         jnp.sum(zpar_l * zpar_l * test, axis=0), AXIS
                     )                                               # [p]
@@ -860,7 +933,7 @@ class ShardedGeneration:
                                 mets_l, start, nsub, axis=0
                             ),
                         )
-                        t_s = ((mb_s - mean) / sd) @ R            # [ns, A]
+                        t_s = _hdot((mb_s - mean) / sd, R)        # [ns, A]
                         zp_s = (
                             jax.lax.dynamic_slice_in_dim(
                                 params_l, start, nsub, axis=0
@@ -928,14 +1001,23 @@ class ShardedGeneration:
                     # backends; tools/tpu_validate.py hard-asserts
                     # ncomp_used > 1 AND chunked == resident selection on
                     # rank-structured 1M data on hardware.
-                    W, rhs = jax.lax.optimization_barrier((W, rhs))
                     U = jax.lax.psum(
-                        jax.lax.dot(
-                            W, rhs, precision=jax.lax.Precision.HIGHEST
-                        ),
-                        AXIS,
+                        _vdv_moment_dot(W, rhs), AXIS
                     )                                             # [K1, p+Ap+AA]
                     U0 = U[:, :npar]                              # [K1, p]
+                    # RUNTIME SELF-CHECK (every run, every backend): the
+                    # observed row of U0 is sum_n test_n * zp_n^2 - a sum of
+                    # non-negative f32 terms, which NO rounding order can
+                    # drive negative. A negative entry is exactly the
+                    # fingerprint of the round-3 XLA:TPU fusion miscompile
+                    # the barrier above works around (wrong operand data fed
+                    # into the dot; docs/DESIGN.md "The vdv fusion
+                    # miscompile"). If a future XLA upgrade re-fuses past the
+                    # barrier, this flag fires in-program: the generation's
+                    # reported ncomp_used is NEGATED, which the engine
+                    # (run_device) and bench.py turn into a hard error
+                    # instead of silently degraded selection.
+                    u0_bad = jnp.min(U0[0]) < 0
                     U1 = U[:, npar:npar + max_comp * npar].reshape(
                         -1, max_comp, npar
                     )                                             # [K1, A, p]
@@ -965,19 +1047,29 @@ class ShardedGeneration:
                     )
                     ok = pvals > 0.25
                 else:
+                    u0_bad = None
                     min_press = jnp.min(press, axis=0)
                     ok = press <= 1.1 * min_press[None, :]
                 ncomp_resp = jnp.argmax(ok, axis=0) + 1
                 ncomp_used = jnp.max(ncomp_resp)
+                # the REPORTED count carries the miscompile flag as a sign
+                # bit (ncomp_used >= 1 always, so < 0 is unambiguous);
+                # ranking still uses the computed count - on a corrupted U
+                # the selection is garbage either way, and the negative
+                # report is what makes the run fail loudly downstream
+                ncomp_report = (
+                    ncomp_used if u0_bad is None
+                    else jnp.where(u0_bad, -ncomp_used, ncomp_used)
+                )
                 col_mask = (
                     jnp.arange(max_comp) < ncomp_used
                 ).astype(self.dtype)[None, :]
 
-                obs_scores = (obs_z @ R) * col_mask[0]
+                obs_scores = _hdot(obs_z, R) * col_mask[0]
                 if use_chunked:
                     def pass_dist(d_acc, xs):
                         _, _, mb, _ = block_rows(*xs)
-                        tb = (((mb - mean) / sd) @ R) * col_mask
+                        tb = _hdot((mb - mean) / sd, R) * col_mask
                         db = jnp.sqrt(jnp.sum(
                             (tb - obs_scores[None, :]) ** 2, axis=1
                         ))
@@ -1014,24 +1106,52 @@ class ShardedGeneration:
                 else:
                     diff = zmet_l - obs_z[None, :]
                     d_l = jnp.sqrt(jnp.sum(diff * diff, axis=1))
-                ncomp_used = jnp.int32(0)
+                ncomp_report = jnp.int32(0)
             # padding rows rank last, so they can never enter the top-K
             d_l = jnp.where(gidx < n_true, d_l, jnp.asarray(jnp.inf, self.dtype))
 
-            # ---- global top-K: local top-k, all_gather candidates, re-top-k ----
+            # ---- global top-K ----
             neg_loc, loc_idx = jax.lax.top_k(-d_l, k_local)
             cand_d = jax.lax.all_gather(-neg_loc, AXIS).reshape(-1)
-            cand_par = jax.lax.all_gather(params_l[loc_idx], AXIS).reshape(
-                -1, npar
-            )
-            cand_met = jax.lax.all_gather(mets_l[loc_idx], AXIS).reshape(
-                -1, nmet
-            )
-            cand_gidx = jax.lax.all_gather(gidx[loc_idx], AXIS).reshape(-1)
-            neg_glob, pos = jax.lax.top_k(-cand_d, keep)
-            surv_par = cand_par[pos]                    # [K, P] replicated
-            surv_met = cand_met[pos]
-            surv_gidx = cand_gidx[pos]
+            if two_stage:
+                # two-stage (docs/SCALING.md): gather DISTANCES + local row
+                # indices only (8 B/candidate), replicate the global top-K
+                # decision, then assemble the K survivor rows with one
+                # psum whose payload is mesh-size-INDEPENDENT: each shard
+                # contributes exactly the rows it owns, zeros elsewhere.
+                # Bit-identical to the single-stage path (same top_k on the
+                # same cand_d; psum adds exact zeros), pinned by
+                # tests/test_sharded.py::test_topk_two_stage_equivalence.
+                cand_lidx = jax.lax.all_gather(loc_idx, AXIS).reshape(-1)
+                _, pos = jax.lax.top_k(-cand_d, keep)
+                owner = pos // k_local                  # [K] owning shard
+                slot = cand_lidx[pos]                   # [K] local row there
+                # gidx[loc_idx] == shard * local_n + loc_idx, so the global
+                # index reconstructs exactly without gathering it
+                surv_gidx = (owner * local_n + slot).astype(gidx.dtype)
+                mine = (owner == shard)[:, None]
+                zero = jnp.zeros((), self.dtype)
+                surv_par = jax.lax.psum(
+                    jnp.where(mine, params_l[slot], zero), AXIS
+                )                                       # [K, P] replicated
+                surv_met = jax.lax.psum(
+                    jnp.where(mine, mets_l[slot], zero), AXIS
+                )
+            else:
+                # single-stage: gather full candidate rows, re-top-k
+                # (payload O(ndev * K * (P+M)) - the right choice at small
+                # meshes/keeps where one fused gather beats two collectives)
+                cand_par = jax.lax.all_gather(
+                    params_l[loc_idx], AXIS
+                ).reshape(-1, npar)
+                cand_met = jax.lax.all_gather(
+                    mets_l[loc_idx], AXIS
+                ).reshape(-1, nmet)
+                cand_gidx = jax.lax.all_gather(gidx[loc_idx], AXIS).reshape(-1)
+                _, pos = jax.lax.top_k(-cand_d, keep)
+                surv_par = cand_par[pos]                # [K, P] replicated
+                surv_met = cand_met[pos]
+                surv_gidx = cand_gidx[pos]
 
             # ---- doubled variance + weights (replicated small math) ----
             smean = jnp.mean(surv_par, axis=0)
@@ -1074,7 +1194,7 @@ class ShardedGeneration:
                 # src/AbcSmc.cpp:520-529); skipping it removes an O(N2)
                 # resample+perturb from the last step
                 outs = (
-                    d_l, surv_gidx, surv_par, surv_met, w, dv, ncomp_used,
+                    d_l, surv_gidx, surv_par, surv_met, w, dv, ncomp_report,
                 )
                 # metrics-precomputed steps do NOT return mets_l: it is a
                 # verbatim passthrough of an input, which XLA materializes
@@ -1091,7 +1211,7 @@ class ShardedGeneration:
 
             outs = (
                 d_l, surv_gidx, surv_par, surv_met, w, dv,
-                nxt, nxt_seeds, ncomp_used,
+                nxt, nxt_seeds, ncomp_report,
             )
             return ((mets_l,) + outs) if include_sim else outs
 
@@ -1174,7 +1294,7 @@ class ShardedGeneration:
         assert gens >= 1
         n_pad = self._padded(n)
         cache_key = ("scan", n_pad, n, keep, gens, full_history,
-                     self.sorted_pick_min)
+                     self.sorted_pick_min, self.topk_two_stage)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             # traced-through step programs (jit-of-jit inlines)
@@ -1260,6 +1380,124 @@ class ShardedGeneration:
             self._step_cache[cache_key] = fn
         return fn(key)
 
+    # ------------------------------------------------------------- chained run
+    def run_chain(
+        self, key, set_sizes: list[int], keep_sizes: list[int],
+        full_history: bool = False,
+    ):
+        """A varying-size schedule as FEW jitted programs: maximal runs of
+        consecutive sets with constant (n, keep) whose successor size equals
+        n collapse into ONE ``lax.scan`` dispatch; size-transition sets
+        dispatch singly. The reference quick-start schedule
+        ``[300, 500, 500, 750, 1000]`` extended to 30 sets
+        (examples/reference.json:2-4) runs as 5 programs instead of 30 -
+        the dispatch-latency fix for tunneled backends that ``run_scan``
+        (uniform sizes only) could not give it.
+
+        The key-split chain replicates the sequential loop exactly
+        (``key, k0 = split(key)`` then one split per set), so results match
+        ``engine.run_device``'s per-set path bit-for-bit on CPU.
+
+        Returns ``(state, history)``: ``state`` is the final
+        (survivor_params, weights, doubled_variance); ``history`` is a LIST
+        (one entry per set) of tuples ``(survivor_idx, survivor_params,
+        survivor_metrics, weights, doubled_variance, ncomp_used[, params,
+        seeds, metrics])`` - run_scan's per-generation layout, with device
+        arrays (scanned buckets yield stacked slices)."""
+        G = len(set_sizes)
+        assert G >= 1 and len(keep_sizes) == G
+        key, k0 = jax.random.split(key)
+        kts = []
+        for _ in range(G):
+            key, kt = jax.random.split(key)
+            kts.append(kt)
+        params, seeds = self.init_population(k0, set_sizes[0])
+
+        def ys_of(res, pop_params, pop_seeds):
+            base = (
+                res.survivor_idx, res.survivor_params, res.survivor_metrics,
+                res.weights, res.doubled_variance, res.ncomp_used,
+            )
+            if full_history:
+                base += (pop_params, pop_seeds, res.metrics)
+            return base
+
+        def scannable(u: int, n_t: int, keep_t: int) -> bool:
+            # a set joins an n_t-bucket when its own shape matches AND its
+            # successor (= the scan body's static proposal size) is n_t too;
+            # the final set joins with a wasted n_t-sized proposal, which
+            # still beats one extra dispatch on a tunneled backend
+            return (
+                set_sizes[u] == n_t and keep_sizes[u] == keep_t
+                and (u + 1 >= G or set_sizes[u + 1] == n_t)
+            )
+
+        state = None
+        history = []
+        t = 0
+        while t < G:
+            n_t, keep_t = set_sizes[t], keep_sizes[t]
+            n_next = set_sizes[t + 1] if t + 1 < G else 0
+            L = 1
+            if state is not None and scannable(t, n_t, keep_t):
+                while t + L < G and scannable(t + L, n_t, keep_t):
+                    L += 1
+            if L > 1 and int(state[0].shape[0]) != keep_t:
+                # the incoming survivor state is sized by the PREVIOUS set's
+                # keep; a lax.scan carry must be shape-uniform, so peel the
+                # bucket's first set as a single dispatch (after it the
+                # state is [keep_t]-shaped and the rest of the bucket scans)
+                L = 1
+            if L == 1:
+                res = self.step(
+                    kts[t], params, seeds, keep_t, n_next, state,
+                    n_valid=n_t,
+                )
+                history.append(ys_of(res, params, seeds))
+                state = (
+                    res.survivor_params, res.weights, res.doubled_variance
+                )
+                params, seeds = res.next_params, res.next_seeds
+            else:
+                n_pad = self._padded(n_t)
+                ck = ("chain", n_pad, n_t, keep_t, L, full_history,
+                      self.sorted_pick_min, self.topk_two_stage)
+                fn = self._step_cache.get(ck)
+                if fn is None:
+                    later_fn = self._build_step(
+                        n_pad, keep_t, n_t, first=False, include_sim=True,
+                        n_true=n_t,
+                    )
+
+                    def bucket(kt_stack, params, seeds, s0, s1, s2):
+                        def body(carry, kt):
+                            params, seeds, prev = carry
+                            res = later_fn(kt, params, seeds, *prev)
+                            prev2 = (
+                                res.survivor_params, res.weights,
+                                res.doubled_variance,
+                            )
+                            return (
+                                res.next_params, res.next_seeds, prev2
+                            ), ys_of(res, params, seeds)
+
+                        return jax.lax.scan(
+                            body, (params, seeds, (s0, s1, s2)), kt_stack
+                        )
+
+                    fn = jax.jit(bucket)
+                    self._step_cache[ck] = fn
+                carry, ys = fn(
+                    jnp.stack(kts[t:t + L]), params, seeds, *state
+                )
+                params, seeds, state = carry
+                for i in range(L):
+                    history.append(
+                        jax.tree_util.tree_map(lambda x, i=i: x[i], ys)
+                    )
+            t += L
+        return state, history
+
     # ------------------------------------------------------------------ full run
     def run(self, key, set_sizes: list[int], keep_sizes: list[int]):
         """Convenience: run all generations on-device; returns the final
@@ -1308,4 +1546,12 @@ def sharded_simulate(simulator, mesh: Mesh, upars, seeds, n_valid: int):
             check_vma=False,
         )
     )
-    return np.asarray(fn(upars, seeds))[:n_valid]
+    out = fn(upars, seeds)
+    if jax.process_count() > 1:
+        # a sharded output over a multi-process mesh is not fully
+        # addressable per process; replicate (one all-gather on the mesh
+        # interconnect) so every process fetches the full matrix
+        out = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )(out)
+    return np.asarray(out)[:n_valid]

@@ -67,6 +67,14 @@ class ClaimedJobs:
 class Storage:
     """Abstract run store."""
 
+    #: True when one store instance is visible to every process of a
+    #: multi-process (jax.distributed) mesh - a SQLite file on a shared
+    #: filesystem, the reference's deployment medium. The engine's device
+    #: path gates its deterministic-replicated writes to process 0 for
+    #: shared stores; process-private stores (MemoryStorage) are written by
+    #: every process, each holding its own identical copy.
+    shared = True
+
     def exists(self) -> bool:
         raise NotImplementedError
 
@@ -77,9 +85,13 @@ class Storage:
         """True when the store holds no particle rows. Tables may already
         exist: ``create()`` and the first ``insert_generation`` are separate
         transactions, so a crash between them leaves an existing-but-empty
-        store (the engine repairs that state by enqueueing generation 0,
-        matching the reference's build-on-open behavior at
-        src/AbcSmc.cpp:810-874)."""
+        store, which the engine repairs by enqueueing generation 0.
+
+        Deliberate deviation (docs/PARITY.md "Deliberate deviations"): the
+        reference's build-on-open (src/AbcSmc.cpp:810-874) returns false
+        whenever any table exists - even empty - and never repairs this
+        crash window; resuming such a database there fails in the weight
+        step. The repair here is an intentional improvement."""
         return not self.exists() or len(self.read_generations()) == 0
 
     def insert_generation(
@@ -89,8 +101,17 @@ class Storage:
         seeds: np.ndarray,
         upars: np.ndarray | None = None,
         posterior_ranks: np.ndarray | None = None,
-    ) -> np.ndarray:
-        """Enqueue a generation as 'Q' rows; returns assigned serials."""
+        if_empty: bool = False,
+    ) -> np.ndarray | None:
+        """Enqueue a generation as 'Q' rows; returns assigned serials.
+
+        ``if_empty``: make the insert conditional on the store still holding
+        ZERO particle rows, checked atomically inside the insert transaction
+        (the crash-window repair path: two workers can both observe an
+        empty store, but only one may repair it - the reference's analog is
+        the exclusive create-table transaction, src/AbcSmc.cpp:819-835,
+        which makes the second process fail instead). Returns None when the
+        store turned out non-empty and nothing was inserted."""
         raise NotImplementedError
 
     def insert_generation_complete(
@@ -124,6 +145,14 @@ class Storage:
     def claim_jobs(
         self, n: int = 1, serial_req: int = -1, posterior_req: int = -1
     ) -> ClaimedJobs:
+        raise NotImplementedError
+
+    def read_runnable(self) -> ClaimedJobs:
+        """claim_jobs(-1)'s SELECT (every job with status Q or R) WITHOUT the
+        claim update, ordered by serial. Read-only: the view a non-writer
+        process of a multi-process mesh uses to participate in the lockstep
+        SPMD simulate of the batch process 0 just claimed (the writer sorts
+        its claim by serial too, so both see identical global arrays)."""
         raise NotImplementedError
 
     def write_results(

@@ -17,6 +17,8 @@ from abcsmc_tpu.storage.base import ClaimedJobs, GenerationData, Storage
 
 
 class MemoryStorage(Storage):
+    shared = False  # process-private: each process writes its own copy
+
     def __init__(self):
         self._created = False
         self.par_names: list[str] = []
@@ -50,11 +52,15 @@ class MemoryStorage(Storage):
         return not self.serial
 
     def insert_generation(
-        self, set_num, params, seeds, upars=None, posterior_ranks=None
+        self, set_num, params, seeds, upars=None, posterior_ranks=None,
+        if_empty=False,
     ):
         params = np.asarray(params, np.float64)
         n = params.shape[0]
         start = len(self.serial)
+        if if_empty and start != 0:
+            # conditional repair insert lost the (in-process) race
+            return None
         serials = np.arange(start, start + n, dtype=np.int64)
         now = int(time.time())
         for i in range(n):
@@ -131,6 +137,21 @@ class MemoryStorage(Storage):
             self.start_time[i] = now
             self.status[i] = "R"
             self.attempts[i] += 1
+        table = self.upars if self.has_upar else self.params
+        return ClaimedJobs(
+            serials=np.asarray(chosen, np.int64),
+            seeds=np.asarray([self.seeds[i] for i in chosen], np.uint64),
+            params=(
+                np.stack([table[i] for i in chosen])
+                if chosen else np.zeros((0, len(self.par_names)))
+            ),
+        )
+
+    def read_runnable(self):
+        """Read-only claim view: see Storage.read_runnable."""
+        chosen = sorted(
+            i for i in range(len(self.serial)) if self.status[i] in ("Q", "R")
+        )
         table = self.upars if self.has_upar else self.params
         return ClaimedJobs(
             serials=np.asarray(chosen, np.int64),

@@ -170,7 +170,8 @@ class SQLiteStorage(Storage):
             raise
 
     def insert_generation(
-        self, set_num, params, seeds, upars=None, posterior_ranks=None
+        self, set_num, params, seeds, upars=None, posterior_ranks=None,
+        if_empty=False,
     ):
         params = np.asarray(params, np.float64)
         n = params.shape[0]
@@ -181,6 +182,12 @@ class SQLiteStorage(Storage):
                 f"select coalesce(max(serial), -1) from {self._job}"
             ).fetchone()
             start = int(row[0]) + 1
+            if if_empty and start != 0:
+                # rows appeared between the caller's emptiness check and
+                # this EXCLUSIVE transaction (another worker repaired the
+                # crash window first); abort without inserting
+                conn.execute("ROLLBACK")
+                return None
             serials = np.arange(start, start + n, dtype=np.int64)
             now = int(time.time())
             npar = len(self.par_names)
@@ -291,6 +298,11 @@ class SQLiteStorage(Storage):
                 "Failed to read SMC set from database because one or more "
                 "tables are missing."
             )
+        if not self.par_names:
+            # tables appeared after this object's construction (another
+            # process of a multi-process mesh created them); resolve the
+            # column names before building the SELECT
+            self._load_schema_if_present()
         par_sel = ", ".join(f"P.{n}" for n in self.par_names)
         met_sel = ", ".join(f"M.{n}" for n in self.met_names)
         sets = [
@@ -379,6 +391,27 @@ class SQLiteStorage(Storage):
         except Exception:
             conn.execute("ROLLBACK")
             raise
+        npar = len(self.par_names)
+        return ClaimedJobs(
+            serials=np.array([r[0] for r in rows], np.int64),
+            seeds=np.array([int(r[1]) for r in rows], np.uint64),
+            params=np.array(
+                [[_f(v) for v in r[2 : 2 + npar]] for r in rows], np.float64
+            ).reshape(len(rows), npar),
+        )
+
+    def read_runnable(self):
+        """Read-only claim view: see Storage.read_runnable."""
+        conn = self._connect()
+        if not self.par_names:
+            self._load_schema_if_present()
+        table = UPAR_TABLE if self.has_upar else self._par
+        par_sel = ", ".join(f"P.{nm}" for nm in self.par_names)
+        rows = conn.execute(
+            f"select J.serial, P.seed, {par_sel} from {table} P, "
+            f"{self._job} J where P.serial = J.serial "
+            f"and (J.status = 'Q' or J.status = 'R') order by J.serial"
+        ).fetchall()
         npar = len(self.par_names)
         return ClaimedJobs(
             serials=np.array([r[0] for r in rows], np.int64),

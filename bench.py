@@ -193,6 +193,16 @@ def main():
     # selection (ncomp collapsing to 1 on structured data) must be visible in
     # the bench artifact itself, not require code archaeology
     ncomp_used = int(np.asarray(jax.device_get(res.ncomp_used)))
+    # the bench data is rank-structured by construction (mets = params @ mix
+    # + noise): selection must retain > 1 component, and a NEGATIVE count
+    # means the fused step's in-program miscompile self-check fired
+    # (parallel/generation.py "RUNTIME SELF-CHECK"). Either way this is a
+    # correctness failure - crash rather than print a tainted perf number.
+    assert ncomp_used > 1, (
+        f"ncomp_used={ncomp_used}: degenerate/corrupted PLS component "
+        "selection on rank-structured bench data (negative = vdv miscompile "
+        "self-check; see docs/DESIGN.md 'The vdv fusion miscompile')"
+    )
 
     if CPU_FALLBACK:
         # a 100k CPU run scored against the 1M TPU target would be

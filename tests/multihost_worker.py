@@ -1,21 +1,37 @@
-"""Worker script for the multi-host test: run as N processes, each with 4
-virtual CPU devices, forming one global mesh via jax.distributed. Runs two
-sharded SMC generations and prints the (replicated) survivor summary so the
-parent can check all processes agree.
+"""Worker script for the multi-host tests: run as N processes, each with
+4 virtual CPU devices (8 when N == 1), forming one global mesh via
+jax.distributed - the DCN-across-hosts topology of SURVEY 5.8, minus the
+network.
 
-    python tests/multihost_worker.py <process_id> <num_processes> <port>
+    python tests/multihost_worker.py <process_id> <num_processes> <port> \
+        [mode] [db_path] [seed]
+
+Modes:
+    raw            (default) two sharded SMC generation steps; prints the
+                   replicated survivor summary so the parent can check all
+                   processes agree.
+    engine         AbcSmc.run_device end-to-end against ONE shared SQLite
+                   store (fresh run): the reference's deployment model -
+                   one durable database, many processes
+                   (/root/reference/src/AbcSmc.cpp:877-965) - with the
+                   engine's replicated writes gated to process 0.
+    engine_resume  run_device resuming whatever state the parent left in
+                   the shared store (mid-set or boundary).
 """
 
 import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 4)
-
 proc_id = int(sys.argv[1])
 nprocs = int(sys.argv[2])
 port = sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "raw"
+
+jax.config.update("jax_platforms", "cpu")
+# keep the GLOBAL device count at 8 regardless of the process layout, so a
+# 1-process and a 2-process run compile the identical SPMD program
+jax.config.update("jax_num_cpu_devices", 8 // nprocs)
 
 jax.distributed.initialize(
     coordinator_address=f"localhost:{port}",
@@ -34,12 +50,12 @@ from abcsmc_tpu.models.transforms import ParameterTransform  # noqa: E402
 from abcsmc_tpu.parallel.generation import ShardedGeneration  # noqa: E402
 from abcsmc_tpu.parallel.mesh import particle_mesh  # noqa: E402
 
-assert len(jax.devices()) == 4 * nprocs, jax.devices()
-assert len(jax.local_devices()) == 4
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 8 // nprocs
 
-cfg = parse_config({
-    "smc_iterations": 2,
-    "num_samples": 64,
+CFG = {
+    "smc_iterations": 3,
+    "num_samples": 96,
     "predictive_prior_fraction": 0.25,
     "parameters": [
         {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
@@ -51,28 +67,92 @@ cfg = parse_config({
         {"name": "sum", "num_type": "INT", "value": 44},
         {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
     ],
-})
-gen = ShardedGeneration(
-    ParameterSet.from_specs(cfg.parameters),
-    ParameterTransform(cfg.parameters),
-    make_dice_simulator(max_dice=50),
-    np.array([44.0, 2.39925]),
-    mesh=particle_mesh(),  # global mesh across both processes
-)
+}
 
-key = jax.random.PRNGKey(7)
-key, k0, k1, k2 = jax.random.split(key, 4)
-params, seeds = gen.init_population(k0, 64)
-r0 = gen.step(k1, params, seeds, 16, 64, None)
-state = (r0.survivor_params, r0.weights, r0.doubled_variance)
-r1 = gen.step(k2, r0.next_params, r0.next_seeds, 16, 64, state)
 
-# replicated outputs: every process can read them fully
-w = np.asarray(jax.device_get(r1.weights))
-surv = np.asarray(jax.device_get(r1.survivor_params))
-assert w.shape == (16,) and np.all(np.isfinite(w))
-print(
-    f"RESULT {proc_id} {np.round(float(surv.mean()), 6)} "
-    f"{np.round(float(np.linalg.norm(w)), 6)}",
-    flush=True,
-)
+def run_raw():
+    cfg = parse_config(dict(CFG, smc_iterations=2, num_samples=64))
+    gen = ShardedGeneration(
+        ParameterSet.from_specs(cfg.parameters),
+        ParameterTransform(cfg.parameters),
+        make_dice_simulator(max_dice=50),
+        np.array([44.0, 2.39925]),
+        mesh=particle_mesh(),  # global mesh across all processes
+    )
+    key = jax.random.PRNGKey(7)
+    key, k0, k1, k2 = jax.random.split(key, 4)
+    params, seeds = gen.init_population(k0, 64)
+    r0 = gen.step(k1, params, seeds, 16, 64, None)
+    state = (r0.survivor_params, r0.weights, r0.doubled_variance)
+    r1 = gen.step(k2, r0.next_params, r0.next_seeds, 16, 64, state)
+
+    # replicated outputs: every process can read them fully
+    w = np.asarray(jax.device_get(r1.weights))
+    surv = np.asarray(jax.device_get(r1.survivor_params))
+    assert w.shape == (16,) and np.all(np.isfinite(w))
+    print(
+        f"RESULT {proc_id} {np.round(float(surv.mean()), 6)} "
+        f"{np.round(float(np.linalg.norm(w)), 6)}",
+        flush=True,
+    )
+
+
+def run_engine(db_path: str, seed: int):
+    from abcsmc_tpu.engine import AbcSmc
+
+    cfg = dict(CFG, database_filename=db_path)
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
+    abc.run_device(seed=seed)
+    gens = abc.storage.read_generations()
+    assert len(gens) == 3 and all(g.complete for g in gens), [
+        (g.set_num, g.size, g.complete) for g in gens
+    ]
+    # posterior surfaces agree on every process (replicated device math)
+    pars, w = abc.posterior()
+    abc.storage.close()
+    print(
+        f"RESULT {proc_id} {np.round(float(np.asarray(pars).mean()), 6)} "
+        f"{np.round(float(np.linalg.norm(np.asarray(w))), 6)}",
+        flush=True,
+    )
+
+
+def run_engine_projection(db_path: str, seed: int):
+    """Projection sweep (PSEUDO grid) on the multi-process mesh: the brain
+    runs on process 0, every process participates in the lockstep SPMD
+    simulate (claim by the writer, Storage.read_runnable elsewhere)."""
+    from abcsmc_tpu.engine import AbcSmc
+
+    cfg = {
+        "database_filename": db_path,
+        "parameters": [
+            {"name": "ndice", "dist_type": "PSEUDO", "num_type": "INT",
+             "par1": 1, "par2": 12},
+            {"name": "sides", "dist_type": "PSEUDO", "num_type": "INT",
+             "par1": 2, "par2": 9},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+    }
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=12))
+    abc.run_device(seed=seed)
+    gens = abc.storage.read_generations()
+    assert len(gens) == 1 and gens[0].complete, gens
+    assert gens[0].size == 12 * 8  # full factorial grid
+    mets = np.asarray(gens[0].metrics)
+    abc.storage.close()
+    print(
+        f"RESULT {proc_id} {np.round(float(mets.mean()), 6)} "
+        f"{np.round(float(mets.std()), 6)}",
+        flush=True,
+    )
+
+
+if mode == "raw":
+    run_raw()
+elif mode == "engine_proj":
+    run_engine_projection(sys.argv[5], int(sys.argv[6]))
+else:
+    run_engine(sys.argv[5], int(sys.argv[6]))

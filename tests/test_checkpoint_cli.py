@@ -148,6 +148,62 @@ def test_cli_workers_flag(tmp_path):
     conn.close()
 
 
+def test_cli_device_e2e(tmp_path):
+    """The CLI --device path end-to-end (cli.py argparse -> run_device):
+    builtin device simulator, fused sharded generations over the CPU mesh,
+    complete reference-schema store, AbcLog-parity report on stderr
+    (reference CLI surface: examples/include/examples.h:57-94). Run as a
+    subprocess so the real exit code and stderr surface are exercised."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    db = str(tmp_path / "dev.sqlite")
+    c = cfg(n=64, iters=2, database_filename=db, simulator="dice")
+    cfg_path = tmp_path / "dev.json"
+    cfg_path.write_text(json.dumps(c))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    # the axon sitecustomize (PYTHONPATH=/root/.axon_site) latches the TPU
+    # platform before JAX_PLATFORMS can; strip it so the subprocess really
+    # runs on CPU (CLAUDE.md)
+    env.pop("PYTHONPATH", None)
+
+    def invoke(seed):
+        return subprocess.run(
+            [sys.executable, "-m", "abcsmc_tpu", str(cfg_path), "--device",
+             "--seed", str(seed)],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=500,
+        )
+
+    out = invoke(3)
+    assert out.returncode == 0, out.stderr
+    # filtering report (per ranked set) + convergence report ran
+    assert "Set 0" in out.stderr and "Set 1" in out.stderr
+    assert "Posterior means:" in out.stderr
+    assert "Convergence data for predictive priors:" in out.stderr
+
+    conn = sqlite3.connect(db)
+    sets = conn.execute(
+        "select smcSet, count(*), sum(status='D'), sum(posterior > -1) "
+        "from job group by smcSet order by smcSet"
+    ).fetchall()
+    conn.close()
+    assert sets == [(0, 64, 64, 10), (1, 64, 64, 10)]
+
+    # idempotent re-invocation: the run is already complete; exit 0, no
+    # new rows
+    out2 = invoke(4)
+    assert out2.returncode == 0, out2.stderr
+    conn = sqlite3.connect(db)
+    assert conn.execute("select count(*) from job").fetchone()[0] == 128
+    conn.close()
+
+
 def test_direct_api_construction():
     """Reference examples/direct/main.cpp surface: build without a config
     file."""

@@ -288,3 +288,103 @@ def test_resume_from_create_crash_window(tmp_path):
     assert ms.is_empty()
     ms.create(["a"], ["m"], False)
     assert ms.exists() and ms.is_empty()
+
+
+def _crashwin_cfg(tmp_path, name="race.sqlite"):
+    return {
+        "smc_iterations": 2,
+        "num_samples": 32,
+        "predictive_prior_fraction": 0.25,
+        "database_filename": str(tmp_path / name),
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.4},
+        ],
+    }
+
+
+def test_crash_window_repair_race_is_atomic(tmp_path):
+    """Two workers racing on the same crash-window database (tables, zero
+    rows) must not double-populate set 0: the emptiness check re-runs inside
+    the insert's EXCLUSIVE transaction, so the loser inserts nothing and
+    build_database returns False (the reference's second process fails its
+    exclusive create-table the same way, src/AbcSmc.cpp:819-835)."""
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+
+    cfg = _crashwin_cfg(tmp_path)
+    sim = make_dice_simulator(max_dice=50)
+    abc0 = AbcSmc(cfg, simulator=sim)
+    abc0.storage.create(
+        abc0.par_set.short_names(),
+        [m.short_name for m in abc0.metrics],
+        abc0.transform.has_any,
+    )
+    abc0.storage.close()
+
+    # worker A repairs
+    abc_a = AbcSmc(cfg, simulator=sim)
+    assert abc_a.build_database(seed=1) is True
+
+    # worker B holds a STALE emptiness view (it checked before A's insert
+    # landed); its conditional insert must abort inside the transaction
+    abc_b = AbcSmc(cfg, simulator=sim)
+    abc_b.storage.is_empty = lambda: True  # simulate the TOCTOU window
+    assert abc_b.build_database(seed=2) is False
+
+    gens = abc_a.storage.read_generations()
+    assert len(gens) == 1 and gens[0].size == 32  # exactly one set 0
+    abc_a.storage.close()
+    abc_b.storage.close()
+
+    # MemoryStorage honors the same contract
+    from abcsmc_tpu.storage import MemoryStorage
+
+    ms = MemoryStorage()
+    ms.create(["a", "b"], ["m"], False)
+    s1 = ms.insert_generation(
+        0, np.zeros((4, 2)), np.arange(4), if_empty=True
+    )
+    assert s1 is not None and len(s1) == 4
+    assert ms.insert_generation(
+        0, np.zeros((4, 2)), np.arange(4), if_empty=True
+    ) is None
+    assert len(ms.serial) == 4
+
+
+def test_crash_window_repair_rejects_mismatched_schema(tmp_path):
+    """Repairing an existing empty schema that does not match the config
+    must raise a coded StorageError, not silently populate wrong columns
+    (equal-count mismatch) or die in a raw sqlite binding error (count
+    mismatch)."""
+    from abcsmc_tpu.errors import StorageError
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+    from abcsmc_tpu.storage import SQLiteStorage
+
+    cfg = _crashwin_cfg(tmp_path, "schema.sqlite")
+    sim = make_dice_simulator(max_dice=50)
+
+    # equal-count but differently-named parameter columns
+    st = SQLiteStorage(cfg["database_filename"])
+    st.create(["alpha", "beta"], ["sum", "sd"], False)
+    st.close()
+    abc = AbcSmc(cfg, simulator=sim)
+    with pytest.raises(StorageError) as ei:
+        abc.build_database(seed=1)
+    assert "does not match the configuration" in str(ei.value)
+    abc.storage.close()
+
+    # wrong metric count
+    cfg2 = _crashwin_cfg(tmp_path, "schema2.sqlite")
+    st = SQLiteStorage(cfg2["database_filename"])
+    st.create(["ndice", "sides"], ["sum"], False)
+    st.close()
+    abc2 = AbcSmc(cfg2, simulator=sim)
+    with pytest.raises(StorageError):
+        abc2.build_database(seed=1)
+    abc2.storage.close()

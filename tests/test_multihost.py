@@ -1,9 +1,18 @@
 """Multi-host (multi-process) SMC: two OS processes with 4 CPU devices each
-form one 8-device mesh via jax.distributed and run sharded generations -
-the DCN-across-hosts topology of SURVEY 5.8, minus the network."""
+form one 8-device mesh via jax.distributed - the DCN-across-hosts topology of
+SURVEY 5.8, minus the network.
+
+Covers the raw sharded step (all processes compute identical replicated
+survivors) AND the full engine against one shared SQLite store: the
+reference's deployment model is many OS processes sharing one durable
+database (/root/reference/src/AbcSmc.cpp:877-965); here the 2-process
+engine run must produce the same store, row for row, as a 1-process run
+of the identical 8-device program (timestamps excluded - the only
+non-deterministic columns)."""
 
 import os
 import socket
+import sqlite3
 import subprocess
 import sys
 
@@ -18,19 +27,19 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_mesh_generation():
+def _run_workers(nprocs: int, extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, "tests/multihost_worker.py", str(i), "2",
-             str(port)],
+            [sys.executable, "tests/multihost_worker.py", str(i),
+             str(nprocs), str(port), *map(str, extra_args)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd="/root/repo", env=env,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -41,8 +50,109 @@ def test_two_process_mesh_generation():
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
-                _, pid, mean, wnorm = line.split()
-                results[pid] = (mean, wnorm)
-    assert set(results) == {"0", "1"}
+                _, pid, a, b = line.split()
+                results[pid] = (a, b)
+    assert set(results) == {str(i) for i in range(nprocs)}
+    return results
+
+
+def _dump_db(path):
+    """Full deterministic content of a run store: every column except the
+    wall-clock ones (startTime, duration)."""
+    conn = sqlite3.connect(path)
+    job = conn.execute(
+        "select serial, smcSet, particleIdx, status, posterior, attempts "
+        "from job order by serial"
+    ).fetchall()
+    par = conn.execute("select * from par order by serial").fetchall()
+    met = conn.execute("select * from met order by serial").fetchall()
+    conn.close()
+    return job, par, met
+
+
+def test_two_process_mesh_generation():
+    results = _run_workers(2)
     # both processes computed the same replicated survivors/weights
     assert results["0"] == results["1"], results
+
+
+def test_two_process_engine_matches_single_process(tmp_path):
+    """AbcSmc.run_device end-to-end on a 2-process x 4-device mesh against
+    ONE shared SQLite store == the 1-process 8-device run: same rows, same
+    ranks, same seeds, same metrics - one row per particle (no write
+    races)."""
+    db2 = str(tmp_path / "two_proc.sqlite")
+    db1 = str(tmp_path / "one_proc.sqlite")
+    r2 = _run_workers(2, ["engine", db2, 11])
+    r1 = _run_workers(1, ["engine", db1, 11])
+    # posterior surfaces replicated across processes and layouts
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    assert _dump_db(db2) == _dump_db(db1)
+
+
+def test_two_process_engine_resume_matches_single_process(tmp_path):
+    """Mid-set resume on a multi-process mesh: a half-simulated store (the
+    reference's crash-anywhere restart contract, src/AbcSmc.cpp:452-479)
+    resumed by a 2-process engine produces the same database as a 1-process
+    resume of an identical copy."""
+    import shutil
+
+    from abcsmc_tpu.engine import AbcSmc
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+
+    # must match multihost_worker.CFG (the worker is a standalone script -
+    # importing it would run jax.distributed.initialize)
+    db2 = str(tmp_path / "resume_two.sqlite")
+    cfg = {
+        "smc_iterations": 3,
+        "num_samples": 96,
+        "predictive_prior_fraction": 0.25,
+        "database_filename": db2,
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+    }
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
+    abc.build_database(seed=5)
+    abc.simulate_next_particles(n=48)  # half of set 0
+    abc.storage.close()
+    db1 = str(tmp_path / "resume_one.sqlite")
+    shutil.copyfile(db2, db1)
+
+    r2 = _run_workers(2, ["engine_resume", db2, 11])
+    r1 = _run_workers(1, ["engine_resume", db1, 11])
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    d2, d1 = _dump_db(db2), _dump_db(db1)
+    assert d2 == d1
+    # the pre-simulated half kept its host-f64 metrics (first-write-wins)
+    conn = sqlite3.connect(db2)
+    n_done = conn.execute(
+        "select count(*) from job where smcSet = 0 and status = 'D'"
+    ).fetchone()[0]
+    conn.close()
+    assert n_done == 96
+
+
+def test_two_process_projection_sweep_matches_single_process(tmp_path):
+    """Projection mode on a multi-process mesh: process 0 runs the brain
+    and claims; every process participates in the lockstep SPMD simulate
+    via the read-only claim view (Storage.read_runnable); results match the
+    1-process sweep row for row."""
+    db2 = str(tmp_path / "proj_two.sqlite")
+    db1 = str(tmp_path / "proj_one.sqlite")
+    r2 = _run_workers(2, ["engine_proj", db2, 7])
+    r1 = _run_workers(1, ["engine_proj", db1, 7])
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    assert _dump_db(db2) == _dump_db(db1)
+    # one claim attempt per row on the shared store (writer-only claims)
+    conn = sqlite3.connect(db2)
+    att = conn.execute("select min(attempts), max(attempts) from job").fetchone()
+    conn.close()
+    assert att == (1, 1), att

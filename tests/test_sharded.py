@@ -956,3 +956,110 @@ def test_systematic_sorted_pick_matches_sort_path():
     )
     np.testing.assert_array_equal(
         np.asarray(res[1].next_seeds), np.asarray(res[1 << 40].next_seeds))
+
+
+def test_vdv_miscompile_flag(monkeypatch):
+    """The in-program U0 self-check: the observed row of the van der Voet
+    moment matmul is a sum of squares (>= 0 in any rounding order); injecting
+    a corrupted product - the round-3 XLA:TPU fusion miscompile fingerprint,
+    docs/DESIGN.md 'The vdv fusion miscompile' - must surface as a NEGATIVE
+    reported ncomp_used, and the engine must refuse to mirror the run."""
+    import abcsmc_tpu.parallel.generation as G
+
+    orig = G._vdv_moment_dot
+
+    def corrupted(W, rhs):
+        # negate the observed row: exactly the on-hardware failure signature
+        # (row 0 of U came back negative in its sum-of-squares section)
+        return orig(W, rhs).at[0, :].multiply(-1.0)
+
+    # healthy run first (fresh builder: per-instance step cache)
+    gen_ok = make_gen()
+    res_ok = run_generations(gen_ok, gens=1)
+    assert int(np.asarray(res_ok.ncomp_used)) >= 1
+
+    monkeypatch.setattr(G, "_vdv_moment_dot", corrupted)
+    gen_bad = make_gen()
+    res_bad = run_generations(gen_bad, gens=1)
+    flagged = int(np.asarray(res_bad.ncomp_used))
+    assert flagged < 0, flagged
+    # sign encodes the flag; magnitude is still the computed count
+    assert -flagged >= 1
+
+    # engine level: run_device raises rather than mirroring a corrupted
+    # generation into the store
+    from abcsmc_tpu.engine import AbcSmc
+    from abcsmc_tpu.errors import AbcError
+    from abcsmc_tpu.storage import MemoryStorage
+
+    cfg = {
+        "smc_iterations": 2,
+        "num_samples": 64,
+        "predictive_prior_fraction": 0.25,
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+    }
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                 storage=MemoryStorage())
+    with pytest.raises(AbcError, match="self-check"):
+        abc.run_device(seed=1)
+
+
+def test_topk_two_stage_equivalence():
+    """The two-stage global top-K (distance gather -> replicated decision ->
+    mesh-size-independent row psum) is BIT-identical to the single-stage
+    candidate-row gather: same top_k on the same distances (identical tie
+    breaks), psum of exact zeros plus exact row values. Covers keep % ndev
+    != 0, keep > local_n (k_local capped), and padded populations."""
+    key = jax.random.PRNGKey(3)
+    for n, keep in ((64, 16), (64, 13), (40, 24), (300, 30)):
+        a = make_gen(topk_two_stage=False)
+        b = make_gen(topk_two_stage=True)
+        key, k0, k1 = jax.random.split(key, 3)
+        params, seeds = a.init_population(k0, n)
+        ra = a.step(k1, params, seeds, keep, n, None, n_valid=n)
+        rb = b.step(k1, params, seeds, keep, n, None, n_valid=n)
+        np.testing.assert_array_equal(
+            np.asarray(ra.survivor_idx), np.asarray(rb.survivor_idx),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ra.survivor_params), np.asarray(rb.survivor_params),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ra.survivor_metrics), np.asarray(rb.survivor_metrics),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ra.weights), np.asarray(rb.weights),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ra.next_params), np.asarray(rb.next_params),
+        )
+
+    # a weighted (non-first) generation through both paths too
+    a = make_gen(topk_two_stage=False)
+    b = make_gen(topk_two_stage=True)
+    ra = run_generations(a, gens=2, seed=9)
+    rb = run_generations(b, gens=2, seed=9)
+    np.testing.assert_array_equal(
+        np.asarray(ra.survivor_idx), np.asarray(rb.survivor_idx),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra.weights), np.asarray(rb.weights),
+    )
+
+    # the auto rule: off on 1 device, on above the payload threshold
+    g1 = make_gen(n_devices=1)
+    assert g1._topk_two_stage_active(10**6, 10**6) is False
+    g8 = make_gen()
+    assert g8._topk_two_stage_active(50_000, 131_072) == (
+        8 * 50_000 * 4 * jnp.dtype(g8.dtype).itemsize
+        >= g8._TOPK_TWO_STAGE_BYTES
+    )

@@ -18,16 +18,29 @@ pulled toward 0.5. This tool quantifies exactly how far, which is the
 number a practitioner needs when reading credible intervals from a fit
 (the reference ships no such diagnostic).
 
+Round-4 scope (VERDICT r3 item 3): a CONFIGURATION MATRIX, not one model -
+three model families (6x13 linear-Gaussian dengue surrogate, stochastic
+SIR, conjugate Gaussian) crossed with the statistical machinery under test:
+INDEPENDENT vs MULTIVARIATE perturbation noise, multinomial vs systematic
+resampling, van der Voet vs PRESS-tolerance component selection. Replicates
+run through the engine's host loop (AbcSmc.run), whose jitted kernels take
+the observed vector as an ARGUMENT - one trace per family, so 100+
+replicates are tractable on CPU and on the chip (the fused device path
+bakes obs as a compile-time constant; its agreement with the host path is
+pinned separately, tests/test_run_device.py::test_run_device_converges*).
+
 Reported per parameter: empirical central 50%/90% interval coverage (with
 binomial sampling sd), the Kolmogorov-Smirnov distance of {u_rp} from
 U(0,1), and the mean |posterior mean - truth|. Appends a section to
 docs/CALIBRATION.md.
 
-Run:  python tools/calibration_study.py [replicates] [n_particles]
-(any backend; each replicate re-traces the fused step for its observed
-vector, so the CPU mesh is the practical default - the f32 TPU pipeline's
-agreement with the CPU path is validated separately in
-docs/TPU_VALIDATION.md).
+Run:
+    python tools/calibration_study.py [replicates] [n_particles] \
+        [--configs lg,lg-mvn-sys,sir,gauss-tol] [--tpu]
+
+Default backend is whatever jax selects (set ABCSMC_FORCE_CPU=1 for the
+virtual 8-device CPU mesh); --tpu skips the CPU forcing and tags the
+output as an on-chip f32 batch.
 """
 
 from __future__ import annotations
@@ -46,53 +59,98 @@ LOG = os.path.join(
     "docs", "CALIBRATION.md",
 )
 
-NPAR, NMET = 6, 13
-GENS = 6
+GENS = 5
 
 
-def one_fit(sim, obs, n, seed):
-    """Returns the fitted AbcSmc engine (posterior + summary surfaces)."""
+def study_configs():
+    """The family x machinery matrix. Each entry: name, simulator factory,
+    parameter specs (uniform priors the truths are drawn from), engine
+    config overrides."""
+    from abcsmc_tpu.models.simulators import (
+        make_gaussian_simulator,
+        make_linear_gaussian_simulator,
+        make_sir_simulator,
+    )
+
+    def unif(name, lo, hi):
+        return {"name": name, "dist_type": "UNIFORM", "num_type": "FLOAT",
+                "par1": lo, "par2": hi}
+
+    return {
+        # flagship dengue-surrogate shape; baseline machinery
+        "lg": dict(
+            sim=lambda: make_linear_gaussian_simulator(6, 13, noise_sd=0.1),
+            pars=[unif(f"p{i}", 0.0, 1.0) for i in range(6)],
+            nmet=13,
+            overrides={"noise": "INDEPENDENT"},
+        ),
+        # same family, MULTIVARIATE kernel + systematic resampling (the
+        # round-3 gap: neither had any calibration evidence)
+        "lg-mvn-sys": dict(
+            sim=lambda: make_linear_gaussian_simulator(6, 13, noise_sd=0.1),
+            pars=[unif(f"p{i}", 0.0, 1.0) for i in range(6)],
+            nmet=13,
+            overrides={"noise": "MULTIVARIATE",
+                       "resample_method": "systematic"},
+        ),
+        # mechanistic stochastic epidemic model (2 pars, 6 summary stats)
+        "sir": dict(
+            sim=lambda: make_sir_simulator(population=5000, t_steps=120),
+            pars=[unif("beta", 0.1, 0.6), unif("gamma", 0.05, 0.4)],
+            nmet=6,
+            overrides={"noise": "INDEPENDENT"},
+        ),
+        # conjugate-Gaussian family with the PRESS-tolerance selection rule
+        "gauss-tol": dict(
+            sim=lambda: make_gaussian_simulator(n_obs=100),
+            pars=[unif("mu", -2.0, 2.0), unif("sigma", 0.2, 2.0)],
+            nmet=2,
+            overrides={"noise": "INDEPENDENT",
+                       "pls_optimal_method": "tolerance"},
+        ),
+    }
+
+
+def one_fit(spec, obs, n, seed):
+    """Fit via the host engine loop (jitted kernels, obs as argument)."""
     from abcsmc_tpu.engine import AbcSmc
     from abcsmc_tpu.storage import MemoryStorage
 
     cfg = {
         "smc_iterations": GENS, "num_samples": n,
-        "predictive_prior_fraction": 0.1, "noise": "INDEPENDENT",
-        "parameters": [
-            {"name": f"p{i}", "dist_type": "UNIFORM", "num_type": "FLOAT",
-             "par1": 0.0, "par2": 1.0} for i in range(NPAR)
-        ],
+        "predictive_prior_fraction": 0.1,
+        "parameters": spec["pars"],
         "metrics": [
             {"name": f"m{j}", "num_type": "FLOAT", "value": float(obs[j])}
-            for j in range(NMET)
+            for j in range(spec["nmet"])
         ],
+        **spec["overrides"],
     }
-    abc = AbcSmc(cfg, simulator=sim, storage=MemoryStorage())
-    abc.run_device(seed=seed, verbose=False)
+    abc = AbcSmc(cfg, simulator=spec["_sim"], storage=MemoryStorage())
+    abc.run(seed=seed)
     return abc
 
 
-def main(reps: int = 32, n: int = 4096) -> None:
-    import jax
+def run_config(name, spec, reps, n, rng):
+    spec = dict(spec)
+    spec["_sim"] = spec["sim"]()
+    npar = len(spec["pars"])
+    lo = np.array([p["par1"] for p in spec["pars"]], float)
+    hi = np.array([p["par2"] for p in spec["pars"]], float)
 
-    from abcsmc_tpu.models.simulators import make_linear_gaussian_simulator
-
-    rng = np.random.default_rng(20260817)
-    sim = make_linear_gaussian_simulator(NPAR, NMET, noise_sd=0.1)
-
-    u_vals = np.zeros((reps, NPAR))
-    cov50 = np.zeros((reps, NPAR), bool)
-    cov90 = np.zeros((reps, NPAR), bool)
-    mean_err = np.zeros((reps, NPAR))
+    u_vals = np.zeros((reps, npar))
+    cov50 = np.zeros((reps, npar), bool)
+    cov90 = np.zeros((reps, npar), bool)
+    mean_err = np.zeros((reps, npar))
     for r in range(reps):
-        # truths MUST come from the exact prior (U(0, 1) here) or the
-        # u ~ U(0,1) premise of SBC breaks: truncating the truth range
-        # makes even an exactly calibrated posterior read as conservative
-        truth = rng.uniform(0.0, 1.0, NPAR)
-        obs = np.asarray(sim.run_batch(
-            truth[None, :], np.array([1000 + r]), np.array([0])
+        # truths MUST come from the exact prior or the u ~ U(0,1) premise
+        # of SBC breaks: truncating the truth range makes even an exactly
+        # calibrated posterior read as conservative
+        truth = rng.uniform(lo, hi)
+        obs = np.asarray(spec["_sim"].run_batch(
+            truth[None, :], np.array([100_000 + r]), np.array([0])
         )[0])
-        abc = one_fit(sim, obs, n, seed=31 * r + 7)
+        abc = one_fit(spec, obs, n, seed=31 * r + 7)
         pars, w = abc.posterior()
         w = np.asarray(w, float)
         w /= w.sum()
@@ -101,63 +159,80 @@ def main(reps: int = 32, n: int = 4096) -> None:
         # (posterior_summary, inverse-CDF over the weight distribution), so
         # the coverage numbers certify the intervals practitioners read
         summ = abc.posterior_summary(quantiles=(0.05, 0.25, 0.75, 0.95))
-        for p, (name, s) in enumerate(summ.items()):
+        for p, (pname, s) in enumerate(summ.items()):
             x = pars[:, p]
             u_vals[r, p] = float(w[x <= truth[p]].sum())
             qs = s["quantiles"]
             cov50[r, p] = qs[0.25] <= truth[p] <= qs[0.75]
             cov90[r, p] = qs[0.05] <= truth[p] <= qs[0.95]
             mean_err[r, p] = abs(s["mean"] - truth[p])
-        print(f"replicate {r + 1}/{reps}: "
-              f"cov90 {cov90[: r + 1].mean():.3f} "
-              f"cov50 {cov50[: r + 1].mean():.3f}", flush=True)
+        if (r + 1) % 10 == 0 or r + 1 == reps:
+            print(f"[{name}] replicate {r + 1}/{reps}: "
+                  f"cov90 {cov90[: r + 1].mean():.3f} "
+                  f"cov50 {cov50[: r + 1].mean():.3f}", flush=True)
+    return u_vals, cov50, cov90, mean_err
 
-    def ks_uniform(u):
-        u = np.sort(u)
-        k = len(u)
-        grid = (np.arange(1, k + 1)) / k
-        return float(np.max(np.maximum(np.abs(grid - u),
-                                       np.abs(u - (np.arange(k) / k)))))
 
+def ks_uniform(u):
+    u = np.sort(np.asarray(u).ravel())
+    k = len(u)
+    grid = np.arange(1, k + 1) / k
+    return float(np.max(np.maximum(np.abs(grid - u),
+                                   np.abs(u - (np.arange(k) / k)))))
+
+
+def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
+    import jax
+
+    all_specs = study_configs()
+    names = configs or list(all_specs)
+    rng = np.random.default_rng(20260819)
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
     lines = [
         "",
-        f"## {datetime.datetime.now(datetime.timezone.utc).isoformat()} - "
-        f"SBC calibration study, backend={jax.default_backend()} "
-        f"({len(jax.devices())} device(s))",
+        f"## {stamp} - SBC calibration matrix, "
+        f"backend={jax.default_backend()} ({len(jax.devices())} device(s))"
+        + (", on-chip f32 batch" if tpu else ""),
         "",
-        f"{reps} replicates x {n} particles x {GENS} generations, "
-        f"{NPAR} params x {NMET} metrics (linear-Gaussian device simulator, "
-        f"truths ~ the exact U(0, 1) prior, keep 10%; intervals from the "
-        f"engine's own posterior_summary quantile rule).",
+        f"{reps} replicates x {n} particles x {GENS} generations per "
+        "configuration, keep 10%; truths ~ the exact uniform priors; "
+        "intervals from the engine's own posterior_summary quantile rule; "
+        "host engine loop (jitted kernels, observed vector as argument).",
         "",
-        "| param | cov50 (nominal 0.50) | cov90 (nominal 0.90) | "
-        "KS(u, U(0,1)) | mean abs err |",
-        "|---|---|---|---|---|",
+        "| config | family | machinery | cov50 (nom 0.50) | "
+        "cov90 (nom 0.90) | KS(u, U(0,1)) | mean abs err |",
+        "|---|---|---|---|---|---|---|",
     ]
     sd50 = np.sqrt(0.5 * 0.5 / reps)
     sd90 = np.sqrt(0.9 * 0.1 / reps)
-    for p in range(NPAR):
-        lines.append(
-            f"| p{p} | {cov50[:, p].mean():.3f} +- {sd50:.3f} "
-            f"| {cov90[:, p].mean():.3f} +- {sd90:.3f} "
-            f"| {ks_uniform(u_vals[:, p]):.3f} "
-            f"| {mean_err[:, p].mean():.4f} |"
-        )
-    lines += [
-        "",
-        f"All params pooled: cov50 = {cov50.mean():.3f}, "
-        f"cov90 = {cov90.mean():.3f}, "
-        f"KS = {ks_uniform(u_vals.ravel()):.3f} "
-        f"(binomial sd over {reps * NPAR} pooled draws: "
-        f"{np.sqrt(0.09 / (reps * NPAR)):.3f} at 90%).",
-        "",
-    ]
-    summary = {
-        "cov50": round(float(cov50.mean()), 3),
-        "cov90": round(float(cov90.mean()), 3),
-        "ks_pooled": round(ks_uniform(u_vals.ravel()), 3),
-        "mean_abs_err": round(float(mean_err.mean()), 4),
+    summary = {}
+    machinery = {
+        "lg": "INDEPENDENT + multinomial + vdv",
+        "lg-mvn-sys": "MULTIVARIATE + systematic + vdv",
+        "sir": "INDEPENDENT + multinomial + vdv",
+        "gauss-tol": "INDEPENDENT + multinomial + tolerance",
     }
+    family = {
+        "lg": "linear-Gaussian 6x13", "lg-mvn-sys": "linear-Gaussian 6x13",
+        "sir": "stochastic SIR 2x6", "gauss-tol": "conjugate Gaussian 2x2",
+    }
+    for name in names:
+        u, c50, c90, err = run_config(name, all_specs[name], reps, n, rng)
+        lines.append(
+            f"| {name} | {family[name]} | {machinery[name]} "
+            f"| {c50.mean():.3f} +- {sd50:.3f} "
+            f"| {c90.mean():.3f} +- {sd90:.3f} "
+            f"| {ks_uniform(u):.3f} | {err.mean():.4f} |"
+        )
+        summary[name] = {
+            "cov50": round(float(c50.mean()), 3),
+            "cov90": round(float(c90.mean()), 3),
+            "ks_pooled": round(ks_uniform(u), 3),
+            "mean_abs_err": round(float(err.mean()), 4),
+        }
+        print(json.dumps({name: summary[name]}), flush=True)
+    lines.append("")
     print(json.dumps(summary), flush=True)
     with open(LOG, "a") as fh:
         fh.write("\n".join(lines))
@@ -165,11 +240,17 @@ def main(reps: int = 32, n: int = 4096) -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("ABCSMC_FORCE_CPU") == "1":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tpu = "--tpu" in sys.argv
+    configs = None
+    for a in sys.argv[1:]:
+        if a.startswith("--configs"):
+            configs = a.split("=", 1)[1].split(",")
+    if os.environ.get("ABCSMC_FORCE_CPU") == "1" and not tpu:
         # the axon sitecustomize latches the TPU platform before env vars
         # can; this is the in-Python escape hatch (CLAUDE.md)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-    main(*(int(a) for a in sys.argv[1:3]))
+    main(*(int(a) for a in args[:2]), configs=configs, tpu=tpu)

@@ -104,7 +104,7 @@ def collective_inventory(hlo_text: str) -> dict:
     return inv
 
 
-def build_step(ndev: int, n: int, keep: int):
+def build_step(ndev: int, n: int, keep: int, topk: str = "auto"):
     """The north-star generation step (bench.py shape) on an ndev-mesh."""
     from abcsmc_tpu.config import parse_config
     from abcsmc_tpu.models.parameters import ParameterSet
@@ -135,6 +135,7 @@ def build_step(ndev: int, n: int, keep: int):
         np.zeros(NMET),
         mesh=mesh,
         dtype=jnp.float32,
+        topk_two_stage={"auto": None, "single": False, "two": True}[topk],
     )
     # pin one traced pick path across mesh sizes (the sorted-picks gate is a
     # rows-per-SHARD threshold, so it would otherwise flip between ndev=1 and
@@ -143,8 +144,8 @@ def build_step(ndev: int, n: int, keep: int):
     return gen
 
 
-def analyze(ndev: int, n: int, keep: int) -> dict:
-    gen = build_step(ndev, n, keep)
+def analyze(ndev: int, n: int, keep: int, topk: str = "auto") -> dict:
+    gen = build_step(ndev, n, keep, topk)
     n_pad = gen._padded(n)
     step_fn = gen._build_step(n_pad, keep, n, first=False, include_sim=False)
 
@@ -200,19 +201,24 @@ def main() -> None:
         help="extra global-N values at the largest mesh (shows collective "
         "bytes are N-independent)",
     )
+    ap.add_argument(
+        "--topk", default="auto", choices=["auto", "single", "two"],
+        help="global top-K strategy: auto (payload threshold), single "
+        "(candidate-row gather), two (distance gather + row psum)",
+    )
     args = ap.parse_args()
 
     ndevs = [int(x) for x in args.ndev.split(",") if x]
     rows = []
     for ndev in ndevs:
-        r = analyze(ndev, args.n, args.keep)
+        r = analyze(ndev, args.n, args.keep, args.topk)
         rows.append(r)
         print(json.dumps(r))
         sys.stdout.flush()
     for extra_n in [int(x) for x in args.n_sweep.split(",") if x]:
         if extra_n == args.n:
             continue
-        r = analyze(max(ndevs), extra_n, args.keep)
+        r = analyze(max(ndevs), extra_n, args.keep, args.topk)
         rows.append(r)
         print(json.dumps(r))
         sys.stdout.flush()
