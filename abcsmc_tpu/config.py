@@ -56,6 +56,12 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    rank-phase and propose-phase temporaries never coexist
                    in HBM - the single-chip 100M path), true/false force;
                    draws are bit-identical to the fused step's
+  ``topk_two_stage``  global top-K strategy on the mesh: unset = auto
+                   (two-stage - distance gather + mesh-size-independent
+                   survivor-row psum - once the candidate gather would
+                   exceed 16 MiB/device on a >1-device mesh), true/false
+                   force; results are bit-identical either way
+                   (docs/SCALING.md)
 """
 
 from __future__ import annotations
@@ -179,6 +185,7 @@ class SmcConfig:
     weight_precision: str = "high"
     row_block: int | None = None
     propose_split: bool | None = None
+    topk_two_stage: bool | None = None
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -715,6 +722,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         weight_precision=_parse_weight_precision(par),
         row_block=_parse_row_block(par),
         propose_split=_parse_propose_split(par),
+        topk_two_stage=_parse_tristate_bool(par, "topk_two_stage"),
         projection_mode=projection,
         raw=par,
     )
@@ -744,14 +752,16 @@ def _parse_resample_method(par: dict) -> str:
 
 
 def _parse_propose_split(par: dict):
-    ps = par.get("propose_split", None)
-    if ps is None:
+    return _parse_tristate_bool(par, "propose_split")
+
+
+def _parse_tristate_bool(par: dict, key: str):
+    v = par.get(key, None)
+    if v is None:
         return None
-    if not isinstance(ps, bool):
-        raise ConfigError(
-            f"propose_split must be a boolean, got {ps!r}", code=1
-        )
-    return ps
+    if not isinstance(v, bool):
+        raise ConfigError(f"{key} must be a boolean, got {v!r}", code=1)
+    return v
 
 
 def _parse_row_block(par: dict):

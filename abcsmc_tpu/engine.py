@@ -719,6 +719,7 @@ class AbcSmc:
             weight_precision=cfg.weight_precision,
             row_block=cfg.row_block,
             propose_split=cfg.propose_split,
+            topk_two_stage=cfg.topk_two_stage,
             dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
         )
 

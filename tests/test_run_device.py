@@ -84,6 +84,24 @@ def test_run_device_row_block_config_matches_default():
     np.testing.assert_allclose(w1, w2, rtol=1e-12)
 
 
+def test_run_device_topk_config_matches_default():
+    """`topk_two_stage` flows config -> engine -> ShardedGeneration; forcing
+    the two-stage top-K must reproduce the default (single-stage at this
+    payload) device run exactly."""
+    cfg = dice_cfg(n=64)
+    abc_a = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
+                   storage=MemoryStorage())
+    abc_a.run_device(seed=23)
+    abc_b = AbcSmc(dict(cfg, topk_two_stage=True),
+                   simulator=make_dice_simulator(max_dice=50),
+                   storage=MemoryStorage())
+    abc_b.run_device(seed=23)
+    p1, w1 = abc_a.posterior()
+    p2, w2 = abc_b.posterior()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(w1, w2, rtol=1e-12)
+
+
 def test_run_device_scan_path_matches_sequential_loop():
     """Fresh constant-shape runs take the one-program run_scan fast path;
     forcing the sequential per-set loop (via an NRMSE tolerance too small to
