@@ -571,7 +571,17 @@ class AbcSmc:
     def run(self, seed: int = 0, verbose: bool = False):
         """The --all loop (examples/include/examples.h:57-94): for each SMC set,
         process then simulate the whole set; one final process pass extracts the
-        last posterior. Stops early if config.nrmse_tolerance is reached."""
+        last posterior. Stops early if config.nrmse_tolerance is reached.
+
+        Multi-process deployments use either (a) the reference's pattern -
+        independent `--simulate` worker PROCESSES against one shared store,
+        each a plain single-process session (claims arbitrated by EXCLUSIVE
+        transactions) - or (b) :meth:`run_device` on a jax.distributed mesh
+        (single-writer, barrier-published; tests/test_multihost.py). Calling
+        THIS loop from multiple processes of one jax.distributed session is
+        not a supported pattern: it has no cross-process barriers, so a
+        non-coordinator process can observe half-written brain state (and
+        its own brain passes are write-gated to process 0)."""
         for t in range(self.config.num_smc_sets):
             self.process_database(seed + t, verbose)
             if getattr(self, "_stopped_early", False):
