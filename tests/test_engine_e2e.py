@@ -304,3 +304,39 @@ def test_legacy_view_names(tmp_path):
         "select count(*) from metrics where sum is not null"
     ).fetchone()[0] == 20
     conn.close()
+
+
+def test_read_runnable_matches_claims():
+    """Storage.read_runnable: the read-only claim view (multi-process
+    lockstep simulate) returns exactly the Q/R rows, serial-ordered, on
+    both stores - and drains to empty once results land."""
+    import numpy as np
+
+    from abcsmc_tpu.storage import MemoryStorage, SQLiteStorage
+
+    def drive(store):
+        store.create(["a", "b"], ["m"], False)
+        params = np.arange(12, dtype=np.float64).reshape(6, 2)
+        serials = store.insert_generation(0, params, np.arange(6))
+        view = store.read_runnable()
+        np.testing.assert_array_equal(view.serials, serials)
+        np.testing.assert_array_equal(view.params, params)
+        # claim 4 (Q->R); runnable view unchanged (Q or R both runnable)
+        claimed = store.claim_jobs(4)
+        view2 = store.read_runnable()
+        np.testing.assert_array_equal(view2.serials, serials)
+        # finish the claimed 4: runnable drops to the 2 still-Q rows
+        store.write_results(
+            claimed.serials, np.ones((4, 1)), np.zeros(4), np.zeros(4)
+        )
+        view3 = store.read_runnable()
+        left = sorted(set(map(int, serials)) - set(map(int, claimed.serials)))
+        np.testing.assert_array_equal(view3.serials, left)
+
+    drive(MemoryStorage())
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        st = SQLiteStorage(f"{td}/r.sqlite")
+        drive(st)
+        st.close()
