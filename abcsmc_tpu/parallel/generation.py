@@ -9,8 +9,10 @@ of the next generation, each shard emitting its local chunk.
 
 This is the TPU-native replacement for the reference's per-generation sequence
 of SQLite scans + Eigen/GSL loops (src/AbcSmc.cpp:452-559 with the numerics of
-src/AbcUtil.cpp): two collectives per generation (psum of small Gram/moment
-tensors, all_gather of K-candidate rows) ride ICI; everything else is local and
+src/AbcUtil.cpp): a handful of small collectives per generation ride ICI -
+psums of Gram/moment tensors, plus either one all_gather of K-candidate rows
+(small meshes/keeps) or the two-stage top-K's distance gather + mesh-size-
+independent survivor-row psum (docs/SCALING.md); everything else is local and
 fuses into large batched XLA ops on the MXU/VPU.
 """
 
