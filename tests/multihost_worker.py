@@ -90,10 +90,9 @@ def run_raw():
     w = np.asarray(jax.device_get(r1.weights))
     surv = np.asarray(jax.device_get(r1.survivor_params))
     assert w.shape == (16,) and np.all(np.isfinite(w))
-    print(
-        f"RESULT {proc_id} {np.round(float(surv.mean()), 6)} "
-        f"{np.round(float(np.linalg.norm(w)), 6)}",
-        flush=True,
+    _emit_result(
+        None, np.round(float(surv.mean()), 6),
+        np.round(float(np.linalg.norm(w)), 6),
     )
 
 
@@ -110,10 +109,9 @@ def run_engine(db_path: str, seed: int):
     # posterior surfaces agree on every process (replicated device math)
     pars, w = abc.posterior()
     abc.storage.close()
-    print(
-        f"RESULT {proc_id} {np.round(float(np.asarray(pars).mean()), 6)} "
-        f"{np.round(float(np.linalg.norm(np.asarray(w))), 6)}",
-        flush=True,
+    _emit_result(
+        db_path, np.round(float(np.asarray(pars).mean()), 6),
+        np.round(float(np.linalg.norm(np.asarray(w))), 6),
     )
 
 
@@ -143,11 +141,21 @@ def run_engine_projection(db_path: str, seed: int):
     assert gens[0].size == 12 * 8  # full factorial grid
     mets = np.asarray(gens[0].metrics)
     abc.storage.close()
-    print(
-        f"RESULT {proc_id} {np.round(float(mets.mean()), 6)} "
-        f"{np.round(float(mets.std()), 6)}",
-        flush=True,
+    _emit_result(
+        db_path, np.round(float(mets.mean()), 6),
+        np.round(float(mets.std()), 6),
     )
+
+
+def _emit_result(db_path, a, b):
+    """Report (a, b) for this process. Written to a sidecar file when a
+    db path exists (gloo writes straight to fd 1, which can interleave
+    with - and corrupt - a stdout line mid-write; observed in round 4),
+    and echoed to stdout for debugging."""
+    if db_path is not None:
+        with open(f"{db_path}.result.{proc_id}", "w") as fh:
+            fh.write(f"{a} {b}\n")
+    print(f"\nRESULT {proc_id} {a} {b}", flush=True)
 
 
 if mode == "raw":

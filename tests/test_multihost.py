@@ -28,6 +28,8 @@ def _free_port() -> int:
 
 
 def _run_workers(nprocs: int, extra_args=()):
+    import re
+
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -47,11 +49,21 @@ def _run_workers(nprocs: int, extra_args=()):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
     results = {}
-    for out in outs:
-        for line in out.splitlines():
-            if line.startswith("RESULT"):
-                _, pid, a, b = line.split()
-                results[pid] = (a, b)
+    if extra_args:
+        # engine modes write sidecar result files (gloo's raw fd-1 writes
+        # can interleave with a stdout line mid-write)
+        db = str(extra_args[1])
+        for i in range(nprocs):
+            with open(f"{db}.result.{i}") as fh:
+                a, b = fh.read().split()
+            results[str(i)] = (a, b)
+    else:
+        rx = re.compile(r"^RESULT (\d+) ([0-9.eE+-]+) ([0-9.eE+-]+)")
+        for out in outs:
+            for line in out.splitlines():
+                m = rx.match(line)
+                if m:
+                    results[m.group(1)] = (m.group(2), m.group(3))
     assert set(results) == {str(i) for i in range(nprocs)}
     return results
 
