@@ -189,7 +189,7 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
     rng = np.random.default_rng(20260819)
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
-    lines = [
+    header = [
         "",
         f"## {stamp} - SBC calibration matrix, "
         f"backend={jax.default_backend()} ({len(jax.devices())} device(s))"
@@ -204,6 +204,12 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
         "cov90 (nom 0.90) | KS(u, U(0,1)) | mean abs err |",
         "|---|---|---|---|---|---|---|",
     ]
+    # write the section header up front and each row as its config
+    # completes: a multi-hour study must not lose everything to a crash in
+    # the last configuration (observed: a libgcc-unwind segfault inside
+    # XLA:CPU after ~500 jitted re-fits took the whole summary with it)
+    with open(LOG, "a") as fh:
+        fh.write("\n".join(header) + "\n")
     sd50 = np.sqrt(0.5 * 0.5 / reps)
     sd90 = np.sqrt(0.9 * 0.1 / reps)
     summary = {}
@@ -219,12 +225,14 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
     }
     for name in names:
         u, c50, c90, err = run_config(name, all_specs[name], reps, n, rng)
-        lines.append(
+        row = (
             f"| {name} | {family[name]} | {machinery[name]} "
             f"| {c50.mean():.3f} +- {sd50:.3f} "
             f"| {c90.mean():.3f} +- {sd90:.3f} "
             f"| {ks_uniform(u):.3f} | {err.mean():.4f} |"
         )
+        with open(LOG, "a") as fh:
+            fh.write(row + "\n")
         summary[name] = {
             "cov50": round(float(c50.mean()), 3),
             "cov90": round(float(c90.mean()), 3),
@@ -232,10 +240,9 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
             "mean_abs_err": round(float(err.mean()), 4),
         }
         print(json.dumps({name: summary[name]}), flush=True)
-    lines.append("")
-    print(json.dumps(summary), flush=True)
     with open(LOG, "a") as fh:
-        fh.write("\n".join(lines))
+        fh.write("\n")
+    print(json.dumps(summary), flush=True)
     print(f"appended to {LOG}", flush=True)
 
 
