@@ -187,14 +187,30 @@ class AbcSmc:
         """device_get that works on multi-process meshes: sharded leaves of
         a global mesh are not fully addressable per process, so replicate
         them first with a jitted identity (an all-gather riding the mesh
-        interconnect), then fetch. Single-process: plain device_get."""
+        interconnect), then fetch. Single-process: plain device_get.
+
+        The replication is element-at-a-time over the top level of ``tree``
+        (the mirror phase passes one entry per SMC set), each replicated
+        copy dying before the next is made: peak extra HBM is one set's
+        buffers, not the whole run history at once. Single-process fetches
+        are untouched — they batch every transfer into one round-trip,
+        which is what the tunneled backend needs."""
         if jax.process_count() == 1:
             return jax.device_get(tree)
         from jax.sharding import NamedSharding, PartitionSpec
 
         rep = NamedSharding(mesh, PartitionSpec())
-        replicated = jax.jit(lambda t: t, out_shardings=rep)(tree)
-        return jax.device_get(replicated)
+        ident = jax.jit(lambda t: t, out_shardings=rep)
+
+        def fetch_one(el):
+            replicated = ident(el)
+            host = jax.device_get(replicated)
+            del replicated
+            return host
+
+        if isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+            return type(tree)(fetch_one(el) for el in tree)
+        return fetch_one(tree)
 
     @property
     def npar(self) -> int:

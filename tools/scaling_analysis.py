@@ -38,7 +38,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MAX_NDEV = 8
+def _prescan_max_ndev() -> int:
+    """Virtual CPU device count. Must take effect BEFORE jax initializes its
+    backends — i.e. before argparse can run — so ``--max-ndev`` is pre-scanned
+    from argv. Values beyond 8 (e.g. 32) let ``--ndev 16,32`` substantiate the
+    pod-scale compile structure of the two-stage top-K."""
+    argv = sys.argv
+    for i, a in enumerate(argv):
+        if a == "--max-ndev" and i + 1 < len(argv):
+            return int(argv[i + 1])
+        if a.startswith("--max-ndev="):
+            return int(a.split("=", 1)[1])
+    return 8
+
+
+MAX_NDEV = _prescan_max_ndev()
 
 # force the virtual CPU mesh BEFORE any backend initialization (the axon
 # sitecustomize latches the TPU platform otherwise; see CLAUDE.md)
@@ -206,9 +220,20 @@ def main() -> None:
         help="global top-K strategy: auto (payload threshold), single "
         "(candidate-row gather), two (distance gather + row psum)",
     )
+    ap.add_argument(
+        "--max-ndev", type=int, default=8,
+        help="virtual CPU device count (pre-scanned before jax backend "
+        "init, so it must be a real argv token); raise to let --ndev go "
+        "beyond 8, e.g. --max-ndev 32 --ndev 8,16,32",
+    )
     args = ap.parse_args()
 
     ndevs = [int(x) for x in args.ndev.split(",") if x]
+    avail = len(jax.devices())
+    assert max(ndevs) <= avail, (
+        f"--ndev {max(ndevs)} exceeds the {avail} virtual devices; raise "
+        f"--max-ndev (currently {MAX_NDEV})"
+    )
     rows = []
     for ndev in ndevs:
         r = analyze(ndev, args.n, args.keep, args.topk)
