@@ -197,10 +197,7 @@ class AbcSmc:
         which is what the tunneled backend needs."""
         if jax.process_count() == 1:
             return jax.device_get(tree)
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        rep = NamedSharding(mesh, PartitionSpec())
-        ident = jax.jit(lambda t: t, out_shardings=rep)
+        ident = AbcSmc._replicate_ident(mesh)
 
         def fetch_one(el):
             replicated = ident(el)
@@ -211,6 +208,22 @@ class AbcSmc:
         if isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
             return type(tree)(fetch_one(el) for el in tree)
         return fetch_one(tree)
+
+    _replicate_ident_cache: dict = {}
+
+    @staticmethod
+    def _replicate_ident(mesh):
+        """One jitted replicate-identity per mesh: a fresh ``jax.jit(lambda)``
+        per call would defeat jit's function-identity cache and re-trace on
+        every fetch (once per SMC set on the split-propose path)."""
+        fn = AbcSmc._replicate_ident_cache.get(mesh)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            fn = jax.jit(lambda t: t, out_shardings=rep)
+            AbcSmc._replicate_ident_cache[mesh] = fn
+        return fn
 
     @property
     def npar(self) -> int:
@@ -309,6 +322,10 @@ class AbcSmc:
         """The SMC brain (src/AbcSmc.cpp:452-559): build if absent; otherwise
         read complete sets, filter/rank any unfiltered set, compute weights,
         report, and enqueue the next generation if more sets are needed."""
+        # reset up front so an aborted pass (e.g. incomplete set) can never
+        # leave a STALE True from a previous converged run on this object -
+        # run_device's loop control reads this attribute
+        self._stopped_early = False
         if self.build_database(seed, verbose):
             return True
 
@@ -710,15 +727,34 @@ class AbcSmc:
             if n_complete == len(gens):
                 # store ended exactly at a set boundary: the host brain
                 # ingests state, reports, honors early stopping, and enqueues
-                # the next set (or declares the run finished). On a
-                # multi-process mesh every process runs the brain (identical
-                # host math, writes gated to the store writer); the barrier
-                # makes the writer's enqueue visible before the re-read.
-                self.process_database(seed, verbose)
+                # the next set (or declares the run finished). Only the
+                # STORE WRITER runs the brain on a shared store: a
+                # non-writer's concurrent process_database could race the
+                # writer's final enqueue commit and read the half-advanced
+                # store (observing the fresh 'Q' set as a spurious
+                # incomplete-set error). The others barrier, take the
+                # writer's stop decision by broadcast, and rebuild identical
+                # host state from the now rank-stamped store below.
+                if self._store_writer():
+                    self.process_database(seed, verbose)
                 self._mesh_sync()  # writer's enqueue/ranks visible to all
-                if getattr(self, "_stopped_early", False):
-                    return self
+                stopped = self._broadcast_flag(
+                    bool(getattr(self, "_stopped_early", False))
+                )
                 gens = self.storage.read_generations()
+                if not self._store_writer():
+                    # non-writer of a shared store: rebuild the host state
+                    # the writer's brain holds (same math; ranks read back
+                    # from the store the writer just stamped) - including
+                    # before the early returns, so posterior()/reports on
+                    # this process see the finished run too
+                    done = gens if gens[-1].complete else gens[:-1]
+                    for t, g in enumerate(done):
+                        self._particle_parameters.append(g.params)
+                        self._particle_metrics.append(g.metrics)
+                        self._ingest_complete_set(g, t)
+                if stopped:
+                    return self
                 if gens[-1].complete:
                     return self       # all requested sets already complete
             else:

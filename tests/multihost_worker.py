@@ -7,9 +7,10 @@ network.
         [mode] [db_path] [seed]
 
 Modes:
-    raw            (default) two sharded SMC generation steps; prints the
+    raw            (default) two sharded SMC generation steps; reports the
                    replicated survivor summary so the parent can check all
-                   processes agree.
+                   processes agree (argv[5], optional: sidecar result-file
+                   base path; without it the result is stdout-only).
     engine         AbcSmc.run_device end-to-end against ONE shared SQLite
                    store (fresh run): the reference's deployment model -
                    one durable database, many processes
@@ -17,6 +18,9 @@ Modes:
                    engine's replicated writes gated to process 0.
     engine_resume  run_device resuming whatever state the parent left in
                    the shared store (mid-set or boundary).
+    engine_proj    projection sweep (PSEUDO grid) on the shared store.
+
+Any other mode string is an error (exit 2), never a silent fallback.
 """
 
 import sys
@@ -70,7 +74,7 @@ CFG = {
 }
 
 
-def run_raw():
+def run_raw(result_base=None):
     cfg = parse_config(dict(CFG, smc_iterations=2, num_samples=64))
     gen = ShardedGeneration(
         ParameterSet.from_specs(cfg.parameters),
@@ -91,7 +95,7 @@ def run_raw():
     surv = np.asarray(jax.device_get(r1.survivor_params))
     assert w.shape == (16,) and np.all(np.isfinite(w))
     _emit_result(
-        None, np.round(float(surv.mean()), 6),
+        result_base, np.round(float(surv.mean()), 6),
         np.round(float(np.linalg.norm(w)), 6),
     )
 
@@ -159,8 +163,12 @@ def _emit_result(db_path, a, b):
 
 
 if mode == "raw":
-    run_raw()
+    run_raw(sys.argv[5] if len(sys.argv) > 5 else None)
 elif mode == "engine_proj":
     run_engine_projection(sys.argv[5], int(sys.argv[6]))
-else:
+elif mode in ("engine", "engine_resume"):
     run_engine(sys.argv[5], int(sys.argv[6]))
+else:
+    # never fall through silently: a typo'd mode must not green-light a
+    # scenario that ran the wrong code path
+    sys.exit(f"unknown multihost_worker mode {mode!r}")

@@ -28,8 +28,6 @@ def _free_port() -> int:
 
 
 def _run_workers(nprocs: int, extra_args=()):
-    import re
-
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -49,22 +47,16 @@ def _run_workers(nprocs: int, extra_args=()):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
     results = {}
-    if extra_args:
-        # engine modes write sidecar result files (gloo's raw fd-1 writes
-        # can interleave with a stdout line mid-write)
-        db = str(extra_args[1])
-        for i in range(nprocs):
-            with open(f"{db}.result.{i}") as fh:
-                a, b = fh.read().split()
-            results[str(i)] = (a, b)
-    else:
-        rx = re.compile(r"^RESULT (\d+) ([0-9.eE+-]+) ([0-9.eE+-]+)")
-        for out in outs:
-            for line in out.splitlines():
-                m = rx.match(line)
-                if m:
-                    results[m.group(1)] = (m.group(2), m.group(3))
-    assert set(results) == {str(i) for i in range(nprocs)}
+    # every mode reports via sidecar result files (gloo's raw fd-1 writes
+    # can interleave with - and corrupt - a stdout line mid-write), keyed
+    # by the base path at extra_args[1]
+    assert extra_args, "pass a mode + result/db base path"
+    db = str(extra_args[1])
+    for i in range(nprocs):
+        with open(f"{db}.result.{i}") as fh:
+            a, b = fh.read().split()
+        results[str(i)] = (a, b)
+    assert set(results) == {str(i) for i in range(nprocs)}, (results, outs)
     return results
 
 
@@ -82,8 +74,8 @@ def _dump_db(path):
     return job, par, met
 
 
-def test_two_process_mesh_generation():
-    results = _run_workers(2)
+def test_two_process_mesh_generation(tmp_path):
+    results = _run_workers(2, ["raw", str(tmp_path / "raw")])
     # both processes computed the same replicated survivors/weights
     assert results["0"] == results["1"], results
 
@@ -150,6 +142,50 @@ def test_two_process_engine_resume_matches_single_process(tmp_path):
     ).fetchone()[0]
     conn.close()
     assert n_done == 96
+
+
+def test_two_process_engine_boundary_resume_matches_single_process(tmp_path):
+    """SET-BOUNDARY resume on a multi-process mesh: a store whose last set
+    is complete but unranked (the crash window between a simulate pass and
+    the next process pass) makes the STORE WRITER run the host brain
+    (rank + weight + enqueue set 1) while the other process barriers and
+    rebuilds identical state from the rank-stamped store - the round-4
+    race fix: a non-writer running the brain concurrently could observe
+    the writer's enqueue commit mid-pass and read a spuriously incomplete
+    store (engine.py run_device boundary branch)."""
+    import shutil
+
+    from abcsmc_tpu.engine import AbcSmc
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+
+    db2 = str(tmp_path / "bres_two.sqlite")
+    cfg = {
+        "smc_iterations": 3,
+        "num_samples": 96,
+        "predictive_prior_fraction": 0.25,
+        "database_filename": db2,
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 50},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+    }
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
+    abc.build_database(seed=5)
+    abc.simulate_next_particles(n=-1)  # ALL of set 0: boundary, unranked
+    abc.storage.close()
+    db1 = str(tmp_path / "bres_one.sqlite")
+    shutil.copyfile(db2, db1)
+
+    r2 = _run_workers(2, ["engine_resume", db2, 11])
+    r1 = _run_workers(1, ["engine_resume", db1, 11])
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    assert _dump_db(db2) == _dump_db(db1)
 
 
 def test_two_process_projection_sweep_matches_single_process(tmp_path):

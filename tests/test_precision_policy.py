@@ -90,6 +90,13 @@ def test_inference_dots_pinned_highest_under_optout():
     # the standalone split-propose program (MVN covariance + Cholesky apply)
     check("propose", lambda k, sp, w, dv: gen.propose(k, sp, w, dv, 64),
           key, *state)
+
+
+def test_env_override_respected():
+    """ABCSMC_MATMUL_PRECISION="unset" skips the package's config update,
+    leaving jax's own default (None) - the documented opt-out for heavy
+    neural device-simulators (abcsmc_tpu/__init__.py). A standalone test:
+    its signal must not be masked by the HLO-lowering assertions above."""
     env = dict(os.environ)
     env["ABCSMC_MATMUL_PRECISION"] = "unset"
     env["JAX_PLATFORMS"] = "cpu"

@@ -277,17 +277,25 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tpu = "--tpu" in sys.argv
-    configs = None
-    for a in sys.argv[1:]:
-        if a.startswith("--configs"):
-            configs = a.split("=", 1)[1].split(",")
-    if os.environ.get("ABCSMC_FORCE_CPU") == "1" and not tpu:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("reps", nargs="?", type=int, default=100)
+    ap.add_argument("n", nargs="?", type=int, default=1024)
+    ap.add_argument(
+        "--configs", default=None,
+        help="comma-separated subset of the matrix (both --configs=a,b "
+        "and --configs a,b work)",
+    )
+    ap.add_argument("--tpu", action="store_true")
+    cli = ap.parse_args()
+    if os.environ.get("ABCSMC_FORCE_CPU") == "1" and not cli.tpu:
         # the axon sitecustomize latches the TPU platform before env vars
         # can; this is the in-Python escape hatch (CLAUDE.md)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-    main(*(int(a) for a in args[:2]), configs=configs, tpu=tpu)
+    main(cli.reps, cli.n,
+         configs=cli.configs.split(",") if cli.configs else None,
+         tpu=cli.tpu)
