@@ -170,6 +170,23 @@ class AbcSmc:
         process-private ones (each then holds its own identical copy)."""
         return self._proc0() or not getattr(self.storage, "shared", True)
 
+    def _require_single_process_for_host_fallback(self, why: str) -> None:
+        """run_device falls back to the host engine (``run``) for states or
+        configurations the device path doesn't cover - but ``run`` has no
+        process gating or barriers: on a multi-process (jax.distributed)
+        mesh with a SHARED store, every process would drive the host brain
+        against the same database at once, racing the writer's uncommitted
+        enqueues (spurious incomplete-set errors, doubled rows). Refuse
+        loudly instead of silently degrading. Process-private stores are
+        fine: each process then runs an independent identical host fit."""
+        if jax.process_count() > 1 and getattr(self.storage, "shared", True):
+            raise AbcError(
+                f"run_device: {why}, which requires the host engine - but "
+                "the host engine cannot run on a multi-process mesh against "
+                "a shared store (no single-writer gating). Run it as one "
+                "process, or give each process a private store.",
+            )
+
     @staticmethod
     def _mesh_sync():
         """Barrier across all processes of a multi-process mesh: returns
@@ -209,21 +226,12 @@ class AbcSmc:
             return type(tree)(fetch_one(el) for el in tree)
         return fetch_one(tree)
 
-    _replicate_ident_cache: dict = {}
-
     @staticmethod
     def _replicate_ident(mesh):
-        """One jitted replicate-identity per mesh: a fresh ``jax.jit(lambda)``
-        per call would defeat jit's function-identity cache and re-trace on
-        every fetch (once per SMC set on the split-propose path)."""
-        fn = AbcSmc._replicate_ident_cache.get(mesh)
-        if fn is None:
-            from jax.sharding import NamedSharding, PartitionSpec
+        """Cached jitted replicate-identity per mesh (parallel/mesh.py)."""
+        from abcsmc_tpu.parallel.mesh import replicate_ident
 
-            rep = NamedSharding(mesh, PartitionSpec())
-            fn = jax.jit(lambda t: t, out_shardings=rep)
-            AbcSmc._replicate_ident_cache[mesh] = fn
-        return fn
+        return replicate_ident(mesh)
 
     @property
     def npar(self) -> int:
@@ -656,7 +664,7 @@ class AbcSmc:
             backend_supports_callbacks,
         )
         from abcsmc_tpu.parallel.generation import ShardedGeneration
-        from abcsmc_tpu.parallel.mesh import particle_mesh
+        from abcsmc_tpu.parallel.mesh import fetch_rows_global, particle_mesh
 
         cfg = self.config
         if mesh is None:
@@ -686,6 +694,9 @@ class AbcSmc:
             and not bridge_unsupported
         )
         if not device_ok:
+            self._require_single_process_for_host_fallback(
+                "configuration not device-runnable"
+            )
             if verbose:
                 sys.stderr.write(
                     "run_device: configuration not device-runnable, "
@@ -723,6 +734,9 @@ class AbcSmc:
             if len(gens) - n_complete > 1:
                 # more than one incomplete set: not a state this engine (or
                 # the reference) produces; let the host path report it
+                self._require_single_process_for_host_fallback(
+                    "store holds more than one incomplete set"
+                )
                 return self.run(seed, verbose)
             if n_complete == len(gens):
                 # store ended exactly at a set boundary: the host brain
@@ -928,10 +942,27 @@ class AbcSmc:
                     # program runs (and before the next generation exists) -
                     # retaining every generation like the fast path does
                     # would also accumulate O(G * N) HBM at these shapes
-                    host = self._fetch_global((
-                        params, seeds, res.metrics, res.survivor_idx,
-                        res.weights, res.doubled_variance, res.ncomp_used,
-                    ), mesh)
+                    if jax.process_count() == 1:
+                        # one batched device_get: the tunneled backend pays
+                        # its round-trip latency once for all seven buffers
+                        host = jax.device_get((
+                            params, seeds, res.metrics, res.survivor_idx,
+                            res.weights, res.doubled_variance,
+                            res.ncomp_used,
+                        ))
+                    else:
+                        # multi-process: the O(N) population buffers fetch
+                        # through the chunked row-psum path - a whole-array
+                        # replicate would materialize an ndev-fold copy of
+                        # exactly the buffers that are HBM-bound enough to
+                        # have triggered the split (parallel/mesh.py)
+                        host = tuple(
+                            fetch_rows_global(a, mesh)
+                            for a in (params, seeds, res.metrics)
+                        ) + tuple(self._fetch_global((
+                            res.survivor_idx, res.weights,
+                            res.doubled_variance, res.ncomp_used,
+                        ), mesh))
                     pops.append(host[:3])
                     results.append(_SlimResult(*host[3:]))
                     del params, seeds, res
@@ -994,6 +1025,27 @@ class AbcSmc:
             t = t0 + i
             n_t = cfg.smc_size_at(t)
             (pars_h, seeds_h, mets_h, surv_h, w_h, dv_h, ncomp_h) = host
+            # selection observability (ncomp collapsing to 1 on structured
+            # data is a silent statistical failure; see VERDICT r2 #1). This
+            # check must run BEFORE any store write for the set: a negative
+            # count means the fused step's in-program U0 self-check fired
+            # (parallel/generation.py "RUNTIME SELF-CHECK") - the van der
+            # Voet moment matmul read corrupted operand data, the XLA:TPU
+            # fusion-miscompile signature. Mirroring first would durably
+            # record the poisoned set as complete-and-ranked (the store has
+            # no ncomp column), so a resume would ingest it as valid - the
+            # exact silent degradation this raise exists to prevent.
+            ncomp_val = int(np.asarray(ncomp_h))
+            if ncomp_val < 0:
+                raise AbcError(
+                    f"set {t}: PLS component selection self-check failed "
+                    f"(ncomp_used={ncomp_val}): the van der Voet moment "
+                    "matmul produced a negative sum-of-squares, the XLA "
+                    "fusion-miscompile signature (docs/DESIGN.md 'The vdv "
+                    "fusion miscompile'). Re-run with "
+                    "pls_optimal_method='tolerance' or on the CPU backend, "
+                    "and report the XLA version.",
+                )
             pars_np = np.asarray(pars_h, np.float64)[:n_t]
             seeds_np = np.asarray(seeds_h, np.uint64)[:n_t]
             mets_np = np.asarray(mets_h, np.float64)[:n_t]
@@ -1025,25 +1077,6 @@ class AbcSmc:
             self._predictive_prior.append(surv)
             self._weights.append(np.asarray(w_h, np.float64))
             self._doubled_variance.append(np.asarray(dv_h, np.float64))
-            # selection observability (ncomp collapsing to 1 on structured
-            # data is a silent statistical failure; see VERDICT r2 #1)
-            ncomp_val = int(np.asarray(ncomp_h))
-            if ncomp_val < 0:
-                # the fused step's in-program U0 self-check fired
-                # (parallel/generation.py "RUNTIME SELF-CHECK"): the van der
-                # Voet moment matmul read corrupted operand data - the
-                # XLA:TPU fusion miscompile signature. Selection for this
-                # generation is invalid; fail the run loudly rather than
-                # mirror silently-degraded posteriors into the store.
-                raise AbcError(
-                    f"set {t}: PLS component selection self-check failed "
-                    f"(ncomp_used={ncomp_val}): the van der Voet moment "
-                    "matmul produced a negative sum-of-squares, the XLA "
-                    "fusion-miscompile signature (docs/DESIGN.md 'The vdv "
-                    "fusion miscompile'). Re-run with "
-                    "pls_optimal_method='tolerance' or on the CPU backend, "
-                    "and report the XLA version.",
-                )
             self.timings.append({
                 "op": "device_generation", "set": t,
                 "ncomp_used": ncomp_val,
@@ -1102,6 +1135,12 @@ class AbcSmc:
             )
             self._mesh_sync()
             if stop:
+                if not self._store_writer():
+                    # early stop decided by the writer's brain: non-writers
+                    # still ingest the finished store (read-only; all writes
+                    # are gated off) so posterior surfaces agree everywhere -
+                    # same contract as the post-loop ingest below
+                    self.process_database(seed + t, verbose)
                 return self
             self._device_simulate_all(mesh)
             self._mesh_sync()

@@ -1541,19 +1541,35 @@ def sharded_simulate(simulator, mesh: Mesh, upars, seeds, n_valid: int):
         upars = jnp.concatenate([upars, jnp.repeat(upars[-1:], extra, axis=0)])
         seeds = jnp.concatenate([seeds, jnp.repeat(seeds[-1:], extra)])
 
-    fn = jax.jit(
-        jax.shard_map(
-            lambda u, s: simulator.batch_fn(u, s),
-            mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS),
-            check_vma=False,
+    # cached per (simulator, mesh) ON the simulator: a fresh jit(shard_map(
+    # lambda)) each call would defeat jit's function-identity cache and
+    # re-trace/re-compile once per set on the projection sweep
+    cache = getattr(simulator, "_sharded_sim_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            simulator._sharded_sim_cache = cache
+        except AttributeError:  # slots/frozen simulator: uncached fallback
+            cache = None
+    fn = cache.get(mesh) if cache is not None else None
+    if fn is None:
+        fn = jax.jit(
+            jax.shard_map(
+                lambda u, s: simulator.batch_fn(u, s),
+                mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS),
+                check_vma=False,
+            )
         )
-    )
+        if cache is not None:
+            cache[mesh] = fn
     out = fn(upars, seeds)
     if jax.process_count() > 1:
         # a sharded output over a multi-process mesh is not fully
         # addressable per process; replicate (one all-gather on the mesh
-        # interconnect) so every process fetches the full matrix
-        out = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(mesh, P())
-        )(out)
+        # interconnect, via the CACHED per-mesh identity - a fresh
+        # jax.jit(lambda) here would re-trace/re-compile once per set) so
+        # every process fetches the full matrix
+        from abcsmc_tpu.parallel.mesh import replicate_ident
+
+        out = replicate_ident(mesh)(out)
     return np.asarray(out)[:n_valid]

@@ -94,6 +94,24 @@ def run_raw(result_base=None):
     w = np.asarray(jax.device_get(r1.weights))
     surv = np.asarray(jax.device_get(r1.survivor_params))
     assert w.shape == (16,) and np.all(np.isfinite(w))
+
+    # the chunked row-psum fetch (parallel/mesh.py::fetch_rows_global, the
+    # HBM-safe multi-process mirror path) reassembles the exact sharded
+    # population on THIS multi-process mesh, partial final window included
+    from abcsmc_tpu.parallel.mesh import (
+        fetch_rows_global,
+        replicate_ident,
+    )
+
+    mesh = gen.mesh
+    full = np.asarray(jax.device_get(replicate_ident(mesh)(r1.next_params)))
+    np.testing.assert_array_equal(
+        fetch_rows_global(r1.next_params, mesh, chunk_rows=24), full
+    )
+    np.testing.assert_array_equal(
+        fetch_rows_global(r1.next_seeds, mesh, chunk_rows=24),
+        np.asarray(jax.device_get(replicate_ident(mesh)(r1.next_seeds))),
+    )
     _emit_result(
         result_base, np.round(float(surv.mean()), 6),
         np.round(float(np.linalg.norm(w)), 6),

@@ -567,3 +567,31 @@ def test_run_device_resume_with_propose_split(tmp_path):
         conn.close()
         abc2.storage.close()
     assert dbs[False] == dbs[True]
+
+
+def test_run_device_host_fallback_refuses_multiprocess(tmp_path, monkeypatch):
+    """run_device's host-engine fallbacks (non-device simulator; >1
+    incomplete set) have no process gating: on a multi-process mesh with a
+    shared store every process would drive the brain against the same
+    database at once. The engine must refuse loudly, not silently race."""
+    import jax
+
+    from abcsmc_tpu.errors import AbcError
+
+    db = str(tmp_path / "mp.sqlite")
+    abc = AbcSmc(
+        dice_cfg(db),
+        simulator=PySimulator(lambda pars, seed: [float(pars[0]), 1.0]),
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(AbcError, match="multi-process"):
+        abc.run_device(seed=5)
+    # process-private stores are fine: each process runs an independent
+    # identical host fit
+    abc_mem = AbcSmc(
+        dice_cfg(),
+        simulator=PySimulator(lambda pars, seed: [float(pars[0]), 1.0]),
+        storage=MemoryStorage(),
+    )
+    assert not getattr(abc_mem.storage, "shared", True)
+    abc_mem._require_single_process_for_host_fallback("test")  # no raise

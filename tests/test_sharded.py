@@ -1011,6 +1011,44 @@ def test_vdv_miscompile_flag(monkeypatch):
                  storage=MemoryStorage())
     with pytest.raises(AbcError, match="self-check"):
         abc.run_device(seed=1)
+    # the check runs BEFORE any store write for the set: the poisoned
+    # generation must not have been durably mirrored as complete-and-ranked
+    # (a resume would otherwise ingest it as valid - the store has no ncomp
+    # column to tell it apart)
+    assert not abc.storage.exists() or abc.storage.is_empty()
+
+
+def test_assemble_rows_chunked_matches_device_get():
+    """The chunked row-psum fetch (parallel/mesh.py) - used so multi-process
+    mirroring of HBM-bound populations never materializes a full replicated
+    copy - reassembles the exact array for every window/size relationship:
+    n a multiple of the chunk, a partial final window (which slides back and
+    keeps only its fresh tail), n smaller than one chunk, and integer
+    dtypes (the seeds buffer)."""
+    from abcsmc_tpu.parallel.mesh import (
+        assemble_rows_chunked,
+        particle_mesh,
+        particle_sharding,
+    )
+
+    mesh = particle_mesh()
+    shard = particle_sharding(mesh)
+    rng = np.random.default_rng(7)
+    for n, chunk in ((64, 16), (64, 24), (40, 64), (8, 8)):
+        f = jax.device_put(
+            jnp.asarray(rng.normal(size=(n, 3))), shard
+        )
+        np.testing.assert_array_equal(
+            assemble_rows_chunked(f, mesh, chunk), np.asarray(f)
+        )
+        u = jax.device_put(
+            jnp.asarray(rng.integers(0, 2**31, size=n, dtype=np.int64),
+                        jnp.uint32),
+            shard,
+        )
+        np.testing.assert_array_equal(
+            assemble_rows_chunked(u, mesh, chunk), np.asarray(u)
+        )
 
 
 def test_topk_two_stage_equivalence():
