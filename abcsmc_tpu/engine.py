@@ -896,6 +896,18 @@ class AbcSmc:
         pops = []
         hist = None
         chain_hist = None
+
+        def _fetch_mirror_tuple(tup):
+            # multi-process fetch of one set's mirror tuple (pars [N,P],
+            # seeds [N], mets [N,M], sidx, w, dv, ncomp): the O(N) leaves
+            # go through the chunked row-psum path so an HBM-bound sharded
+            # population is never replicated ndev-fold whole
+            # (parallel/mesh.py::fetch_rows_global); the small leaves
+            # replicate in one all-gather
+            return tuple(
+                fetch_rows_global(a, mesh) for a in tup[:3]
+            ) + tuple(self._fetch_global(tuple(tup[3:]), mesh))
+
         t_dispatch0 = time.perf_counter()
         if use_scan:
             n0, keep0 = next(iter(sizes)), next(iter(keeps))
@@ -956,13 +968,11 @@ class AbcSmc:
                         # replicate would materialize an ndev-fold copy of
                         # exactly the buffers that are HBM-bound enough to
                         # have triggered the split (parallel/mesh.py)
-                        host = tuple(
-                            fetch_rows_global(a, mesh)
-                            for a in (params, seeds, res.metrics)
-                        ) + tuple(self._fetch_global((
-                            res.survivor_idx, res.weights,
-                            res.doubled_variance, res.ncomp_used,
-                        ), mesh))
+                        host = _fetch_mirror_tuple((
+                            params, seeds, res.metrics, res.survivor_idx,
+                            res.weights, res.doubled_variance,
+                            res.ncomp_used,
+                        ))
                     pops.append(host[:3])
                     results.append(_SlimResult(*host[3:]))
                     del params, seeds, res
@@ -991,9 +1001,20 @@ class AbcSmc:
         # Both paths fetch here, so dispatch_s below is launch-only and
         # mirror_s is fetch + store writes + reports on either path.
         t_mirror0 = time.perf_counter()
+        multi = jax.process_count() > 1
         if hist is not None:
-            (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
-             pars_a, seeds_a, mets_a) = self._fetch_global(hist, mesh)
+            if multi:
+                # scan history leaves are [G, ...]: the population axis is
+                # axis 1 on the O(N) leaves (params/seeds/metrics)
+                sidx, w_a, dv_a, ncomp_a = self._fetch_global(
+                    (hist[0], hist[3], hist[4], hist[5]), mesh
+                )
+                pars_a, seeds_a, mets_a = (
+                    fetch_rows_global(h, mesh, axis=1) for h in hist[6:9]
+                )
+            else:
+                (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
+                 pars_a, seeds_a, mets_a) = jax.device_get(hist)
             fetched = [
                 (pars_a[g], seeds_a[g], mets_a[g], sidx[g], w_a[g],
                  dv_a[g], ncomp_a[g])
@@ -1002,18 +1023,26 @@ class AbcSmc:
         elif chain_hist is not None:
             # run_chain history layout: (sidx, spar, smet, w, dv, ncomp,
             # params, seeds, metrics) per set -> the mirror-tuple order
-            fetched = self._fetch_global([
+            tuples = [
                 (h[6], h[7], h[8], h[0], h[3], h[4], h[5])
                 for h in chain_hist
-            ], mesh)
+            ]
+            fetched = (
+                [_fetch_mirror_tuple(tup) for tup in tuples] if multi
+                else jax.device_get(tuples)
+            )
         else:
-            fetched = self._fetch_global([
+            tuples = [
                 (
                     pars_d, seeds_d, mets_d, res.survivor_idx, res.weights,
                     res.doubled_variance, res.ncomp_used,
                 )
                 for res, (pars_d, seeds_d, mets_d) in zip(results, pops)
-            ], mesh)
+            ]
+            fetched = (
+                [_fetch_mirror_tuple(tup) for tup in tuples] if multi
+                else jax.device_get(tuples)
+            )
         mirror_here = mirror_store and self._store_writer()
         if mirror_here and not self.storage.exists():
             self.storage.create(

@@ -72,31 +72,34 @@ def replicate_ident(mesh: Mesh):
 _chunk_fetch_cache: dict = {}
 
 
-def _chunk_fetcher(mesh: Mesh, chunk_rows: int):
+def _chunk_fetcher(mesh: Mesh, chunk_rows: int, axis: int):
     """Cached shard_map program replicating rows [start, start+chunk_rows)
-    of a row-sharded array: each shard contributes the rows it owns and
+    along the sharded ``axis``: each shard contributes the rows it owns and
     zeros elsewhere, one psum assembles them — the same mesh-size-independent
     payload trick as the two-stage top-K row assembly."""
     import jax.numpy as jnp
     from jax import lax
 
-    key = (mesh, chunk_rows)
+    key = (mesh, chunk_rows, axis)
     fn = _chunk_fetch_cache.get(key)
     if fn is None:
 
         def window(t, start):
-            local_n = t.shape[0]
+            local_n = t.shape[axis]
             base = lax.axis_index(PARTICLE_AXIS) * local_n
             idx = start - base + jnp.arange(chunk_rows)
             valid = (idx >= 0) & (idx < local_n)
-            rows = jnp.take(t, jnp.clip(idx, 0, local_n - 1), axis=0)
-            mask = valid.reshape((chunk_rows,) + (1,) * (t.ndim - 1))
+            rows = jnp.take(t, jnp.clip(idx, 0, local_n - 1), axis=axis)
+            shape = [1] * t.ndim
+            shape[axis] = chunk_rows
+            mask = valid.reshape(shape)
             return lax.psum(jnp.where(mask, rows, 0), PARTICLE_AXIS)
 
         fn = jax.jit(
             jax.shard_map(
                 window, mesh=mesh,
-                in_specs=(P(PARTICLE_AXIS), P()), out_specs=P(),
+                in_specs=(P(*([None] * axis), PARTICLE_AXIS), P()),
+                out_specs=P(),
                 check_vma=False,
             )
         )
@@ -104,15 +107,19 @@ def _chunk_fetcher(mesh: Mesh, chunk_rows: int):
     return fn
 
 
-def assemble_rows_chunked(arr, mesh: Mesh, chunk_rows: int) -> np.ndarray:
+def assemble_rows_chunked(
+    arr, mesh: Mesh, chunk_rows: int, axis: int = 0
+) -> np.ndarray:
     """Host copy of a row-sharded global array, assembled chunk-by-chunk so
-    the peak extra device memory is one ``[chunk_rows, ...]`` replicated
-    buffer instead of the full ``[N, ...]`` replication a jitted identity
-    would materialize on every device. Works on single- and multi-process
-    meshes (the chunks are replicated, hence fully addressable everywhere).
-    """
-    n = int(arr.shape[0])
-    fetch = _chunk_fetcher(mesh, chunk_rows)
+    the peak extra device memory is one ``chunk_rows``-wide replicated
+    window instead of the full replication a jitted identity would
+    materialize on every device. ``axis`` is the sharded row axis (0 for
+    [N, ...] population buffers; 1 for [G, N, ...] scan histories). Works
+    on single- and multi-process meshes (the windows are replicated, hence
+    fully addressable everywhere)."""
+    n = int(arr.shape[axis])
+    fetch = _chunk_fetcher(mesh, chunk_rows, axis)
+    head = (slice(None),) * axis
     parts = []
     start = 0
     while start < n:
@@ -120,20 +127,22 @@ def assemble_rows_chunked(arr, mesh: Mesh, chunk_rows: int) -> np.ndarray:
         # the host keeps only its fresh tail rows
         s_eff = min(start, n - chunk_rows)
         part = np.asarray(jax.device_get(fetch(arr, s_eff)))
-        parts.append(part[start - s_eff:])
+        parts.append(part[head + (slice(start - s_eff, None),)])
         start = s_eff + chunk_rows
-    return np.concatenate(parts, axis=0)
+    return np.concatenate(parts, axis=axis)
 
 
-def fetch_rows_global(arr, mesh: Mesh, chunk_rows: int = 1 << 22):
-    """device_get of a row-sharded [N, ...] array that is safe on
-    multi-process meshes AND at HBM-bound N: small arrays replicate whole
-    (one all-gather); above ``chunk_rows`` rows the copy is assembled in
-    windows (``assemble_rows_chunked``) so fetching a population that barely
-    fits sharded never OOMs a device with an ndev-fold replicated copy.
-    Single-process fetches of addressable arrays stay a plain device_get."""
+def fetch_rows_global(arr, mesh: Mesh, chunk_rows: int = 1 << 22,
+                      axis: int = 0):
+    """device_get of a row-sharded array that is safe on multi-process
+    meshes AND at HBM-bound N: small arrays replicate whole (one
+    all-gather); above ``chunk_rows`` rows along the sharded ``axis`` the
+    copy is assembled in windows (``assemble_rows_chunked``) so fetching a
+    population that barely fits sharded never OOMs a device with an
+    ndev-fold replicated copy. Single-process fetches of addressable
+    arrays stay a plain device_get."""
     if jax.process_count() == 1:
         return jax.device_get(arr)
-    if int(arr.shape[0]) <= chunk_rows:
+    if int(arr.shape[axis]) <= chunk_rows:
         return jax.device_get(replicate_ident(mesh)(arr))
-    return assemble_rows_chunked(arr, mesh, chunk_rows)
+    return assemble_rows_chunked(arr, mesh, chunk_rows, axis)

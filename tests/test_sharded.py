@@ -1049,6 +1049,16 @@ def test_assemble_rows_chunked_matches_device_get():
         np.testing.assert_array_equal(
             assemble_rows_chunked(u, mesh, chunk), np.asarray(u)
         )
+        # scan-history layout: [G, N, ...] with the population on axis 1
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        h = jax.device_put(
+            jnp.asarray(rng.normal(size=(3, n, 2))),
+            NamedSharding(mesh, PartitionSpec(None, "particles")),
+        )
+        np.testing.assert_array_equal(
+            assemble_rows_chunked(h, mesh, chunk, axis=1), np.asarray(h)
+        )
 
 
 def test_topk_two_stage_equivalence():

@@ -122,6 +122,19 @@ def study_configs():
             nmet=6,
             overrides={"noise": "INDEPENDENT"},
         ),
+        # Ricker with the Box-Cox metric transform: the one piece of
+        # statistical machinery without SBC evidence through round 4.
+        # Poisson-count summaries are right-skewed - exactly the regime the
+        # skewness-minimizing transform (ops/ranking.py::apply_box_cox,
+        # reference AbcUtil's Box-Cox helpers) exists for, so this both
+        # calibrates the machinery and exercises it where it matters.
+        "ricker-bc": dict(
+            sim=lambda: make_ricker_simulator(),
+            pars=[unif("log_r", 2.0, 5.0), unif("sigma", 0.1, 0.8),
+                  unif("phi", 4.0, 15.0)],
+            nmet=6,
+            overrides={"noise": "INDEPENDENT", "box_cox": True},
+        ),
         # g-and-k quantile distribution (Rayner & MacGillivray 2002;
         # Fearnhead & Prangle 2012), 4 pars x 8 octile summaries - gives the
         # round-4 machinery (MULTIVARIATE kernel + systematic resampling) a
