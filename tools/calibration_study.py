@@ -258,18 +258,21 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
         "sir": "INDEPENDENT + multinomial + vdv",
         "gauss-tol": "INDEPENDENT + multinomial + tolerance",
         "ricker": "INDEPENDENT + multinomial + vdv",
+        "ricker-bc": "INDEPENDENT + multinomial + vdv + Box-Cox",
         "gk-mvn": "MULTIVARIATE + systematic + vdv",
     }
     family = {
         "lg": "linear-Gaussian 6x13", "lg-mvn-sys": "linear-Gaussian 6x13",
         "sir": "stochastic SIR 2x6", "gauss-tol": "conjugate Gaussian 2x2",
         "ricker": "Ricker chaotic map 3x6 (Wood 2010)",
+        "ricker-bc": "Ricker chaotic map 3x6 (Wood 2010)",
         "gk-mvn": "g-and-k quantile 4x8",
     }
     for name in names:
         u, c50, c90, err = run_config(name, all_specs[name], reps, n, rng)
         row = (
-            f"| {name} | {family[name]} | {machinery[name]} "
+            f"| {name} | {family.get(name, name)} "
+            f"| {machinery.get(name, '?')} "
             f"| {c50.mean():.3f} +- {sd50:.3f} "
             f"| {c90.mean():.3f} +- {sd90:.3f} "
             f"| {ks_uniform(u):.3f} | {err.mean():.4f} |"
