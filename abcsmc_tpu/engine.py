@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import collections
 import json
+from contextlib import contextmanager
 import os
 import sys
 import time
@@ -749,24 +750,27 @@ class AbcSmc:
                 # incomplete-set error). The others barrier, take the
                 # writer's stop decision by broadcast, and rebuild identical
                 # host state from the now rank-stamped store below.
-                if self._store_writer():
-                    self.process_database(seed, verbose)
+                with self._writer_guard("the boundary-resume brain pass"):
+                    if self._store_writer():
+                        self.process_database(seed, verbose)
                 self._mesh_sync()  # writer's enqueue/ranks visible to all
                 stopped = self._broadcast_flag(
                     bool(getattr(self, "_stopped_early", False))
                 )
-                gens = self.storage.read_generations()
-                if not self._store_writer():
-                    # non-writer of a shared store: rebuild the host state
-                    # the writer's brain holds (same math; ranks read back
-                    # from the store the writer just stamped) - including
-                    # before the early returns, so posterior()/reports on
-                    # this process see the finished run too
-                    done = gens if gens[-1].complete else gens[:-1]
-                    for t, g in enumerate(done):
-                        self._particle_parameters.append(g.params)
-                        self._particle_metrics.append(g.metrics)
-                        self._ingest_complete_set(g, t)
+                with self._writer_guard("the boundary-resume state rebuild"):
+                    gens = self.storage.read_generations()
+                    if not self._store_writer():
+                        # non-writer of a shared store: rebuild the host
+                        # state the writer's brain holds (same math; ranks
+                        # read back from the store the writer just stamped)
+                        # - including before the early returns, so
+                        # posterior()/reports on this process see the
+                        # finished run too
+                        done = gens if gens[-1].complete else gens[:-1]
+                        for t, g in enumerate(done):
+                            self._particle_parameters.append(g.params)
+                            self._particle_metrics.append(g.metrics)
+                            self._ingest_complete_set(g, t)
                 if stopped:
                     return self
                 if gens[-1].complete:
@@ -1043,6 +1047,36 @@ class AbcSmc:
                 [_fetch_mirror_tuple(tup) for tup in tuples] if multi
                 else jax.device_get(tuples)
             )
+        # the mirror loop is collective-free (fetches done above), so a
+        # store error on the writer must not strand the peers in the final
+        # _mesh_sync below - the guard turns it into an every-process raise
+        with self._writer_guard("the store mirror"):
+            self._mirror_fetched_sets(
+                fetched, t0, pending_serials, mirror_store
+            )
+        # phase observability: at small populations on a remote tunnel the
+        # dispatch loop (per-set program launches) and the mirror loop
+        # (device->host fetch + store writes + reports) dominate over compute;
+        # surface the split so perf regressions are attributable
+        self.timings.append({
+            "op": "run_device_phases", "sets": len(fetched),
+            "dispatch_s": round(t_dispatch, 4),
+            "mirror_s": round(time.perf_counter() - t_mirror0, 4),
+        })
+        if self._proc0():
+            reports.report_convergence_data(self, t0 + len(fetched) - 1)
+        # every process may read the store after run_device returns; the
+        # barrier publishes the writer's mirror first
+        self._mesh_sync()
+        return self
+
+    def _mirror_fetched_sets(
+        self, fetched, t0: int, pending_serials, mirror_store: bool
+    ) -> None:
+        """Mirror the fetched per-set host tuples into the durable store
+        (writer only) and the in-memory posterior state (every process);
+        runs inside :meth:`_writer_guard` - no collectives in here."""
+        cfg = self.config
         mirror_here = mirror_store and self._store_writer()
         if mirror_here and not self.storage.exists():
             self.storage.create(
@@ -1114,21 +1148,42 @@ class AbcSmc:
                 reports.filtering_report(
                     self, t, pars_np[surv], mets_np[surv]
                 )
-        # phase observability: at small populations on a remote tunnel the
-        # dispatch loop (per-set program launches) and the mirror loop
-        # (device->host fetch + store writes + reports) dominate over compute;
-        # surface the split so perf regressions are attributable
-        self.timings.append({
-            "op": "run_device_phases", "sets": len(fetched),
-            "dispatch_s": round(t_dispatch, 4),
-            "mirror_s": round(time.perf_counter() - t_mirror0, 4),
-        })
-        if self._proc0():
-            reports.report_convergence_data(self, t0 + len(fetched) - 1)
-        # every process may read the store after run_device returns; the
-        # barrier publishes the writer's mirror first
-        self._mesh_sync()
-        return self
+
+    @contextmanager
+    def _writer_guard(self, what: str):
+        """Failure-propagating scope for the collective-free regions of the
+        device path where ONE process (usually the store writer) performs
+        fallible work the others don't: without this, a store error raised
+        on the writer alone leaves every peer blocked in the NEXT collective
+        (``_mesh_sync``/broadcast) until the distributed runtime's timeout —
+        a hang, not a failure. Every process enters the scope; local
+        exceptions are held, a process-allgather agrees on whether anyone
+        failed, and then the failing process re-raises its own error while
+        the peers raise a coded :class:`AbcError` naming the phase. The
+        scope must contain NO collectives (a raise before a collective
+        inside it would re-create the hang); single-process scopes add no
+        collective and just re-raise."""
+        err: Exception | None = None
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001 - re-raised below, post-agree
+            err = e
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray(err is not None)
+            )
+            if err is not None:
+                raise err
+            if bool(np.any(flags)):
+                raise AbcError(
+                    f"a peer process failed during {what}; aborting this "
+                    "process instead of hanging in the next collective "
+                    "(see the failing process's traceback)",
+                )
+        elif err is not None:
+            raise err
 
     @staticmethod
     def _broadcast_flag(value: bool) -> bool:
@@ -1157,8 +1212,9 @@ class AbcSmc:
         store at the end so posterior surfaces agree everywhere."""
         cfg = self.config
         for t in range(cfg.num_smc_sets):
-            if self._store_writer():
-                self.process_database(seed + t, verbose)
+            with self._writer_guard("the projection brain pass"):
+                if self._store_writer():
+                    self.process_database(seed + t, verbose)
             stop = self._broadcast_flag(
                 bool(getattr(self, "_stopped_early", False))
             )
@@ -1173,8 +1229,9 @@ class AbcSmc:
                 return self
             self._device_simulate_all(mesh)
             self._mesh_sync()
-        if self._store_writer():
-            self.process_database(seed + cfg.num_smc_sets, verbose)
+        with self._writer_guard("the final projection brain pass"):
+            if self._store_writer():
+                self.process_database(seed + cfg.num_smc_sets, verbose)
         self._mesh_sync()
         if not self._store_writer():
             # read-only final ingest: fills the in-memory posterior state
@@ -1200,18 +1257,26 @@ class AbcSmc:
         )
         t0 = time.perf_counter()
         if not multiproc:
-            claimed = self.storage.claim_jobs(-1)
-        elif self._proc0():
-            claimed = self.storage.claim_jobs(-1)
-            order = np.argsort(claimed.serials)  # align with read_runnable
-            claimed = type(claimed)(
-                serials=claimed.serials[order], seeds=claimed.seeds[order],
-                params=claimed.params[order],
-            )
-            self._mesh_sync()
+            # process-private stores on a multi-process mesh still need the
+            # guard: a claim failure on one process would strand the others
+            # in the collective simulate below (no-op single-process)
+            with self._writer_guard("the job claim"):
+                claimed = self.storage.claim_jobs(-1)
         else:
+            with self._writer_guard("the job claim"):
+                if self._proc0():
+                    claimed = self.storage.claim_jobs(-1)
+                    # align with read_runnable's serial order
+                    order = np.argsort(claimed.serials)
+                    claimed = type(claimed)(
+                        serials=claimed.serials[order],
+                        seeds=claimed.seeds[order],
+                        params=claimed.params[order],
+                    )
             self._mesh_sync()  # the writer's claim happens-before this read
-            claimed = self.storage.read_runnable()
+            with self._writer_guard("the runnable-row read"):
+                if not self._proc0():
+                    claimed = self.storage.read_runnable()
         t_claim = time.perf_counter() - t0
         if claimed.serials.size == 0:
             return
@@ -1235,12 +1300,13 @@ class AbcSmc:
             mets[bad] = np.finfo(np.float64).tiny
         nrun = len(claimed.serials)
         t0 = time.perf_counter()
-        if self._store_writer():
-            self.storage.write_results(
-                claimed.serials, mets,
-                np.full(nrun, int(start)),
-                np.full(nrun, t_sim / max(nrun, 1)),
-            )
+        with self._writer_guard("the simulate writeback"):
+            if self._store_writer():
+                self.storage.write_results(
+                    claimed.serials, mets,
+                    np.full(nrun, int(start)),
+                    np.full(nrun, t_sim / max(nrun, 1)),
+                )
         self.timings.append({
             "op": "simulate_device", "n": nrun, "claim_s": round(t_claim, 4),
             "sim_s": round(t_sim, 4),

@@ -19,6 +19,9 @@ Modes:
     engine_resume  run_device resuming whatever state the parent left in
                    the shared store (mid-set or boundary).
     engine_proj    projection sweep (PSEUDO grid) on the shared store.
+    engine_fail    failure propagation: a StorageError injected into the
+                   writer's mirror must abort EVERY process promptly
+                   (engine._writer_guard), never hang the peers.
 
 Any other mode string is an error (exit 2), never a silent fallback.
 """
@@ -169,6 +172,41 @@ def run_engine_projection(db_path: str, seed: int):
     )
 
 
+def run_engine_fail(db_path: str, seed: int):
+    """Failure propagation (engine._writer_guard): a store error injected
+    into the WRITER's mirror must abort every process promptly - the writer
+    with the injected StorageError, the peers with the coded 'peer process
+    failed' AbcError - instead of stranding the peers in the final barrier
+    until the distributed runtime's timeout."""
+    from abcsmc_tpu.engine import AbcSmc
+    from abcsmc_tpu.errors import AbcError, StorageError
+
+    cfg = dict(CFG, database_filename=db_path)
+    abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
+    if jax.process_index() == 0:
+        orig = abc.storage.insert_generation_complete
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second set's mirror: mid-run, post-create
+                raise StorageError("injected mirror failure", code=99)
+            return orig(*a, **k)
+
+        abc.storage.insert_generation_complete = boom
+    try:
+        abc.run_device(seed=seed)
+    except StorageError as e:
+        assert proc_id == 0 and "injected mirror failure" in str(e), e
+        _emit_result(db_path, "writer-raised", 99)
+        return
+    except AbcError as e:
+        assert proc_id != 0 and "peer process failed" in str(e), e
+        _emit_result(db_path, "peer-raised", 99)
+        return
+    sys.exit("run_device should have raised on every process")
+
+
 def _emit_result(db_path, a, b):
     """Report (a, b) for this process. Written to a sidecar file when a
     db path exists (gloo writes straight to fd 1, which can interleave
@@ -184,6 +222,8 @@ if mode == "raw":
     run_raw(sys.argv[5] if len(sys.argv) > 5 else None)
 elif mode == "engine_proj":
     run_engine_projection(sys.argv[5], int(sys.argv[6]))
+elif mode == "engine_fail":
+    run_engine_fail(sys.argv[5], int(sys.argv[6]))
 elif mode in ("engine", "engine_resume"):
     run_engine(sys.argv[5], int(sys.argv[6]))
 else:

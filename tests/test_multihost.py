@@ -204,3 +204,31 @@ def test_two_process_projection_sweep_matches_single_process(tmp_path):
     att = conn.execute("select min(attempts), max(attempts) from job").fetchone()
     conn.close()
     assert att == (1, 1), att
+
+
+def test_two_process_writer_failure_aborts_peers_promptly(tmp_path):
+    """A store error on the WRITER must fail the whole fleet fast
+    (engine._writer_guard), not strand the non-writers in the final
+    barrier until the distributed runtime's timeout: process 0 exits with
+    the injected StorageError, process 1 with the coded 'peer process
+    failed' AbcError - both within the normal worker budget."""
+    import time
+
+    db = str(tmp_path / "fail_two.sqlite")
+    t0 = time.monotonic()
+    results = _run_workers(2, ["engine_fail", db, 13])
+    elapsed = time.monotonic() - t0
+    assert results["0"] == ("writer-raised", "99"), results
+    assert results["1"] == ("peer-raised", "99"), results
+    # well under any collective timeout (gloo defaults to 30 min)
+    assert elapsed < 400, elapsed
+    # the injected failure hit the SECOND set's mirror: set 0 is durable,
+    # set 1 is not - the poisoned run left no partially-written set 1 rows
+    import sqlite3 as _sq
+
+    conn = _sq.connect(db)
+    sets = conn.execute(
+        "select smcSet, count(*) from job group by smcSet"
+    ).fetchall()
+    conn.close()
+    assert sets == [(0, 96)], sets
