@@ -58,6 +58,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="run external-executable simulations through the native "
              "parallel worker pool with this many processes",
     )
+    ap.add_argument(
+        "--vis", default="", metavar="PREFIX",
+        help="after the run (or standalone, with no action flags), write "
+             "posterior-violin and pairs-panel plots of the config's "
+             "database to PREFIX_posteriors.png / PREFIX_pairs.png — the "
+             "reference's offline vis/abc_plots.R + abc.pairs.ex.R "
+             "workflow, built in",
+    )
     return ap
 
 
@@ -75,6 +83,23 @@ def _simulate(abc, args, n):
         )
     else:
         abc.simulate_next_particles(n)
+
+
+def _write_plots(abc, prefix: str) -> None:
+    """Render the two offline-analysis plots the reference ships as R
+    scripts (vis/abc_plots.R, vis/abc.pairs.ex.R) from the run database."""
+    db = abc.config.database_filename
+    if not db:
+        raise AbcError("--vis requires a database_filename in the config")
+    if not os.path.exists(db):
+        raise AbcError(f"--vis: database not found: {db}")
+    from abcsmc_tpu import vis
+
+    for path in (
+        vis.plot_posteriors(db, f"{prefix}_posteriors.png"),
+        vis.plot_pairs(db, f"{prefix}_pairs.png"),
+    ):
+        sys.stderr.write(f"{path}\n")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -116,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
                 abc.process_database(seed, args.verbose)
             if args.simulate_db:
                 _simulate(abc, args, args.buffer_size)
+        if args.vis and abc._proc0():
+            _write_plots(abc, args.vis)
     except AbcError as e:
         sys.stderr.write(f"{e}\n")
         return -(e.code or 1) if e.code and e.code < 0 else (e.code or 1)

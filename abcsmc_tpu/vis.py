@@ -21,6 +21,10 @@ def _load(db_path: str):
     store = SQLiteStorage(db_path)
     gens = store.read_generations()
     store.close()
+    if not gens:
+        from abcsmc_tpu.errors import AbcError
+
+        raise AbcError(f"no generations to plot in {db_path}")
     return store.par_names, store.met_names, gens
 
 

@@ -91,3 +91,64 @@ def test_vis_produces_plots(tmp_path):
     p2 = vis.plot_pairs(db, str(tmp_path / "pairs.png"))
     assert os.path.getsize(p1) > 10_000
     assert os.path.getsize(p2) > 10_000
+
+
+def test_vis_refuses_empty_database(tmp_path):
+    from abcsmc_tpu import vis
+    from abcsmc_tpu.errors import AbcError
+    from abcsmc_tpu.storage.sqlite_store import SQLiteStorage
+
+    db = str(tmp_path / "empty.sqlite")
+    store = SQLiteStorage(db)
+    store.create(["a"], ["m"], has_upar=False)
+    store.close()
+    with pytest.raises(AbcError, match="no generations"):
+        vis.plot_posteriors(db, str(tmp_path / "x.png"))
+
+
+def test_vis_main_usage_error():
+    from abcsmc_tpu import vis
+
+    assert vis.main([]) == 1
+
+
+def test_cli_vis_flag_standalone(tmp_path):
+    """`abcsmc-tpu cfg --vis PREFIX` with no action flags plots an existing
+    run database — the built-in replacement for the reference's offline
+    vis/abc_plots.R + abc.pairs.ex.R workflow."""
+    import json
+
+    from abcsmc_tpu import cli
+    from abcsmc_tpu.engine import AbcSmc
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+
+    db = str(tmp_path / "v.sqlite")
+    cfg = {
+        "smc_iterations": 2,
+        "num_samples": 40,
+        "predictive_prior_size": 10,
+        "database_filename": db,
+        "parameters": [
+            {"name": "ndice", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 30},
+            {"name": "sides", "dist_type": "UNIFORM", "num_type": "INT",
+             "par1": 1, "par2": 30},
+        ],
+        "metrics": [
+            {"name": "sum", "num_type": "INT", "value": 44},
+            {"name": "sd", "num_type": "FLOAT", "value": 2.39925},
+        ],
+    }
+    AbcSmc(cfg, simulator=make_dice_simulator(max_dice=30)).run(seed=1)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+
+    prefix = str(tmp_path / "out")
+    assert cli.main([cfg_path, "--vis", prefix]) == 0
+    assert os.path.getsize(f"{prefix}_posteriors.png") > 10_000
+    assert os.path.getsize(f"{prefix}_pairs.png") > 10_000
+
+    # missing database surfaces as a clean coded error, not a traceback
+    os.remove(db)
+    assert cli.main([cfg_path, "--vis", prefix]) != 0

@@ -595,3 +595,18 @@ def test_run_device_host_fallback_refuses_multiprocess(tmp_path, monkeypatch):
     )
     assert not getattr(abc_mem.storage, "shared", True)
     abc_mem._require_single_process_for_host_fallback("test")  # no raise
+
+
+def test_writer_guard_single_process_semantics():
+    """engine._writer_guard on a single-process mesh is a transparent
+    scope: clean pass-through adds nothing, and a local error re-raises
+    unchanged (no wrapping, no collective) — the multi-process
+    failure-propagation leg is pinned in tests/test_multihost.py."""
+    abc = AbcSmc(dice_cfg(), simulator=make_dice_simulator(max_dice=50))
+    with abc._writer_guard("a no-op phase"):
+        pass
+    planted = ValueError("planted")
+    with pytest.raises(ValueError) as exc:
+        with abc._writer_guard("the store mirror"):
+            raise planted
+    assert exc.value is planted
