@@ -62,6 +62,16 @@ Extensions over the reference (all optional, defaulted to reference behavior):
                    exceed 16 MiB/device on a >1-device mesh), true/false
                    force; results are bit-identical either way
                    (docs/SCALING.md)
+  ``device_dispatch``  how run_device launches the per-set programs:
+                   "auto" (default: fuse the whole chain into one program
+                   per size transition - run_scan/run_chain - whenever the
+                   run is fresh and the stacked-history HBM bill is
+                   modest), "fused" (fuse regardless of the HBM-bill
+                   heuristic; still requires a fresh, non-split run), or
+                   "sequential" (one program dispatch per SMC set - the
+                   debugging/measurement baseline the fused paths are
+                   pinned against). Results are identical either way;
+                   only dispatch count changes
 """
 
 from __future__ import annotations
@@ -186,6 +196,7 @@ class SmcConfig:
     row_block: int | None = None
     propose_split: bool | None = None
     topk_two_stage: bool | None = None
+    device_dispatch: str = "auto"
     projection_mode: bool = False
     raw: dict = field(default_factory=dict)
 
@@ -723,6 +734,7 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         row_block=_parse_row_block(par),
         propose_split=_parse_propose_split(par),
         topk_two_stage=_parse_tristate_bool(par, "topk_two_stage"),
+        device_dispatch=_parse_device_dispatch(par),
         projection_mode=projection,
         raw=par,
     )
@@ -753,6 +765,17 @@ def _parse_resample_method(par: dict) -> str:
 
 def _parse_propose_split(par: dict):
     return _parse_tristate_bool(par, "propose_split")
+
+
+def _parse_device_dispatch(par: dict) -> str:
+    v = str(par.get("device_dispatch", "auto"))
+    if v not in ("auto", "fused", "sequential"):
+        raise ConfigError(
+            f"device_dispatch must be 'auto', 'fused', or 'sequential', "
+            f"got {v!r}",
+            code=1,
+        )
+    return v
 
 
 def _parse_tristate_bool(par: dict, key: str):

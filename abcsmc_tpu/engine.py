@@ -647,9 +647,9 @@ class AbcSmc:
         included - matching the reference's crash-anywhere resume
         (src/AbcSmc.cpp:452-479, set-completeness gating at :571-592).
 
-        Fresh runs with uniform (n, keep) across sets and no NRMSE early
-        stop execute the WHOLE chain as one jitted program (run_scan with
-        full history) when the stacked-population HBM bill is modest — on
+        Fresh runs with uniform (n, keep) across sets execute the WHOLE
+        chain as one jitted program (run_scan with full history) when the
+        stacked-population HBM bill is modest — on
         high-dispatch-latency backends (remote/tunneled chips) this removes
         the per-set launch cost entirely. The key-split chain is identical
         to the sequential loop (bit-equal on CPU, pinned by test); on TPU
@@ -828,10 +828,19 @@ class AbcSmc:
             )
             for t in range(n_sets)
         )
+        # NRMSE-tolerance runs stay fused: every set is computed, and the
+        # mirror below truncates at the first converged set - the exact rows
+        # the sequential loop (which stops dispatching there) would store.
+        # The over-computed tail sets are the price of one dispatch; in the
+        # dispatch-latency-bound regime (small populations on a tunneled
+        # backend) that trade is the whole point of the fused paths.
         fused_ok = (
             pending is None and t0 == 0
-            and not cfg.nrmse_tolerance
-            and hist_bytes <= 256 * 2**20
+            and cfg.device_dispatch != "sequential"
+            and (
+                cfg.device_dispatch == "fused"
+                or hist_bytes <= 256 * 2**20
+            )
             # HBM-bound (or force-split) runs need the sequential loop's
             # rank -> mirror -> free -> propose ordering
             and not any_split
@@ -1047,6 +1056,23 @@ class AbcSmc:
                 [_fetch_mirror_tuple(tup) for tup in tuples] if multi
                 else jax.device_get(tuples)
             )
+        if cfg.nrmse_tolerance and (hist is not None or chain_hist is not None):
+            # fused dispatch computed every set; apply the convergence rule
+            # post-hoc by truncating the mirror at the first converged set,
+            # so the store receives exactly the rows the sequential loop
+            # (which stops dispatching there) would have written. The
+            # per-set chains are identical (key-split parity), so this is
+            # row-for-row equivalent; replicated data makes every process
+            # of a multi-process mesh compute the same cut.
+            cut = len(fetched)
+            for i, host in enumerate(fetched):
+                surv_mets = np.asarray(host[2], np.float64)[
+                    np.asarray(host[3], np.int64)
+                ]
+                if self._nrmse_converged(surv_mets, t0 + i):
+                    cut = i + 1
+                    break
+            fetched = fetched[:cut]
         # the mirror loop is collective-free (fetches done above), so a
         # store error on the writer must not strand the peers in the final
         # _mesh_sync below - the guard turns it into an every-process raise
@@ -1062,6 +1088,11 @@ class AbcSmc:
             "op": "run_device_phases", "sets": len(fetched),
             "dispatch_s": round(t_dispatch, 4),
             "mirror_s": round(time.perf_counter() - t_mirror0, 4),
+            # compiled-program launches this ShardedGeneration issued: on
+            # the fused paths this is per size TRANSITION (init + a handful
+            # of programs), not per set - the regression test for the
+            # dispatch-latency contract (tests/test_device_dispatch.py)
+            "programs": gen.dispatches,
         })
         if self._proc0():
             reports.report_convergence_data(self, t0 + len(fetched) - 1)

@@ -195,6 +195,12 @@ class ShardedGeneration:
         self.sorted_pick_min = 1 << 19
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
+        #: compiled-program launches issued through this object (init /
+        #: step / propose / scan / chain bucket) - the dispatch-latency
+        #: observable on tunneled backends; run_device surfaces it in
+        #: ``AbcSmc.timings`` and tests pin the chain path's count to the
+        #: number of size transitions, not the number of SMC sets
+        self.dispatches = 0
 
     # ------------------------------------------------------------------ helpers
     def _sharded(self):
@@ -238,6 +244,7 @@ class ShardedGeneration:
                 )
             )
             self._init_cache[n] = fn
+        self.dispatches += 1
         return fn(key)
 
     # ------------------------------------------------------------------ the step
@@ -311,6 +318,7 @@ class ShardedGeneration:
                 jnp.ones((1,), self.dtype),
                 jnp.ones((p,), self.dtype),
             )
+        self.dispatches += 1
         res = fn(key, params, second, *prev_state)
         if split and n_next > 0:
             # split-propose phase: its own program, same step key -> same
@@ -511,6 +519,7 @@ class ShardedGeneration:
                 check_vma=False,
             ))
             self._step_cache[cache_key] = fn
+        self.dispatches += 1
         return fn(key, surv_par, weights, doubled_variance)
 
     def _build_step(
@@ -1380,6 +1389,7 @@ class ShardedGeneration:
 
             fn = jax.jit(whole)
             self._step_cache[cache_key] = fn
+        self.dispatches += 1
         return fn(key)
 
     # ------------------------------------------------------------- chained run
@@ -1489,6 +1499,7 @@ class ShardedGeneration:
 
                     fn = jax.jit(bucket)
                     self._step_cache[ck] = fn
+                self.dispatches += 1
                 carry, ys = fn(
                     jnp.stack(kts[t:t + L]), params, seeds, *state
                 )

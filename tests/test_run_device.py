@@ -104,10 +104,9 @@ def test_run_device_topk_config_matches_default():
 
 def test_run_device_scan_path_matches_sequential_loop():
     """Fresh constant-shape runs take the one-program run_scan fast path;
-    forcing the sequential per-set loop (via an NRMSE tolerance too small to
-    ever trigger) must give the identical stored result on CPU (the fused
-    chain replicates the key-split chain exactly; see
-    generation.ShardedGeneration.run_scan)."""
+    forcing the sequential per-set loop (device_dispatch='sequential') must
+    give the identical stored result on CPU (the fused chain replicates the
+    key-split chain exactly; see generation.ShardedGeneration.run_scan)."""
     cfg = dice_cfg(n=64)
     abc_scan = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50),
                       storage=MemoryStorage())
@@ -115,7 +114,7 @@ def test_run_device_scan_path_matches_sequential_loop():
     phases = [t for t in abc_scan.timings if t["op"] == "run_device_phases"]
     assert phases, "phase observability entry missing"
 
-    cfg_seq = dict(cfg, nrmse_tolerance=1e-12)  # disables the fast path
+    cfg_seq = dict(cfg, device_dispatch="sequential")
     abc_seq = AbcSmc(cfg_seq, simulator=make_dice_simulator(max_dice=50),
                      storage=MemoryStorage())
     abc_seq.run_device(seed=17)
@@ -154,7 +153,7 @@ def test_run_device_chain_path_matches_sequential_loop():
                            storage=MemoryStorage())
         abc_chain.run_device(seed=29)
 
-        cfg_seq = dict(cfg, nrmse_tolerance=1e-12)  # disables the fast path
+        cfg_seq = dict(cfg, device_dispatch="sequential")
         abc_seq = AbcSmc(cfg_seq, simulator=make_dice_simulator(max_dice=50),
                          storage=MemoryStorage())
         abc_seq.run_device(seed=29)
