@@ -63,6 +63,29 @@ def _vdv_moment_dot(W, rhs):
     return jax.lax.dot(W, rhs, precision=_HI)
 
 
+# the hardware every auto-threshold constant below was MEASURED on: a 16 GB
+# v5e chip (docs/SCALING.md "Threshold provenance"). Detected HBM scales the
+# HBM-capacity thresholds (row chunking, propose split) linearly; backends
+# that don't report memory stats (CPU meshes, some tunneled PJRT plugins)
+# fall back to the v5e constants unscaled.
+_V5E_HBM_BYTES = 16 * 2**30
+
+
+def _detect_hbm_bytes(mesh) -> int | None:
+    """Per-device memory capacity (bytes_limit) of the mesh's first device,
+    or None when the backend doesn't report it. Module-level so tests can
+    monkeypatch the detection (tests/test_scaling_structure.py)."""
+    try:
+        stats = mesh.devices.flat[0].memory_stats()
+        if stats:
+            v = stats.get("bytes_limit")
+            if v:
+                return int(v)
+    except Exception:
+        return None
+    return None
+
+
 def _sorted_searchsorted(cdf, q_sorted, n: int):
     """``searchsorted(cdf, q)`` (side='left') for an ASCENDING query vector,
     without sorting the queries: the K-1 bucket boundaries are found by
@@ -193,6 +216,20 @@ class ShardedGeneration:
         # 1.81 s). Below the threshold the small sort wins and the draw
         # streams stay byte-stable.
         self.sorted_pick_min = 1 << 19
+        # HBM-capacity auto-thresholds, derived from the detected per-device
+        # memory. The base points were measured on a 16 GB v5e (row chunking
+        # needed from 2^25 rows/shard, propose split from 2^26 - observed
+        # RESOURCE_EXHAUSTED boundaries, docs/SCALING.md "Threshold
+        # provenance"); both scale linearly with HBM because the buffers
+        # they guard are O(rows). The scale is clamped to [1/4, 16] so a
+        # misreported bytes_limit can't push either threshold into a
+        # pathological regime; explicit row_block / propose_split config
+        # always wins over these.
+        hbm = _detect_hbm_bytes(mesh)
+        scale = min(max((hbm / _V5E_HBM_BYTES) if hbm else 1.0, 0.25), 16.0)
+        self.hbm_bytes = hbm
+        self.row_chunk_threshold = max(1, int((1 << 25) * scale))
+        self.split_threshold = max(1, int((1 << 26) * scale))
         self._step_cache: dict[Any, Any] = {}
         self._init_cache: dict[Any, Any] = {}
         #: compiled-program launches issued through this object (init /
@@ -472,18 +509,19 @@ class ShardedGeneration:
 
     def split_propose_active(self, n: int, n_next: int) -> bool:
         """True when a step at (n, n_next) runs its proposal as a separate
-        program (``propose_split``; auto: either per-shard slice >= 2^26
-        rows - beyond it the rank-phase temporaries plus the [ln2, P]
-        proposal buffers overflow one 16 GB chip if they coexist, observed
-        RESOURCE_EXHAUSTED at the natural-A 100M steady state). The engine
-        checks this to sequence rank -> mirror -> free -> propose itself at
-        HBM-bound shapes."""
+        program (``propose_split``; auto: either per-shard slice >=
+        ``split_threshold`` rows - 2^26 on the 16 GB v5e where it was
+        measured, scaled by detected HBM - beyond it the rank-phase
+        temporaries plus the [ln2, P] proposal buffers overflow the chip if
+        they coexist, observed RESOURCE_EXHAUSTED at the natural-A 100M
+        steady state). The engine checks this to sequence rank -> mirror ->
+        free -> propose itself at HBM-bound shapes."""
         if n_next <= 0:
             return False
         if self.propose_split is not None:
             return bool(self.propose_split)
         ln2 = self._padded(n_next) // self.ndev
-        return max(self._padded(n) // self.ndev, ln2) >= (1 << 26)
+        return max(self._padded(n) // self.ndev, ln2) >= self.split_threshold
 
     def propose(self, key, surv_par, weights, doubled_variance, n_next: int):
         """Propose the next generation as its OWN sharded program (the
@@ -566,10 +604,11 @@ class ShardedGeneration:
         if self.row_block is None:
             # resident intermediates cost ~200 B/row at M = 13 (z-scores,
             # scores, masked temps); 2^25 rows/shard ~ 6.7 GB - the point
-            # where a 16 GB chip actually needs streaming. Below it the
-            # resident path's single big matmuls are the measured-fast
-            # choice (docs/BENCH_EXTRA_TPU.md 10M/20M rows)
-            use_chunked = local_n >= (1 << 25)
+            # where a 16 GB chip actually needs streaming; scaled by the
+            # detected HBM (row_chunk_threshold). Below it the resident
+            # path's single big matmuls are the measured-fast choice
+            # (docs/BENCH_EXTRA_TPU.md 10M/20M rows)
+            use_chunked = local_n >= self.row_chunk_threshold
             row_bs = 1 << 21
         elif self.row_block > 0:
             use_chunked = True

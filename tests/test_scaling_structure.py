@@ -73,6 +73,94 @@ def test_collective_structure_fixed_and_allreduce_constant():
     assert 7.0 < ratio <= 8.0, ratio
 
 
+def _compile_hlo(gen, n, keep, first=True):
+    """Post-partitioning HLO text of the fused step at (n, keep) - the same
+    compile recipe as scaling_analysis.analyze, shared here so structural
+    assertions can target arbitrary ShardedGeneration configurations."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from scaling_analysis import NMET, NPAR
+
+    n_pad = gen._padded(n)
+    step_fn = gen._build_step(n_pad, keep, n, first=first, include_sim=False)
+
+    def whole(key, params, mets, pp, pw, pdv):
+        res = step_fn(key, params, mets, pp, pw, pdv)
+        return tuple(getattr(res, f.name) for f in dataclasses.fields(res))
+
+    f32 = jnp.float32
+    pk = 1 if first else keep
+    abstract = (
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((n_pad, NPAR), f32),
+        jax.ShapeDtypeStruct((n_pad, NMET), f32),
+        jax.ShapeDtypeStruct((pk, NPAR), f32),
+        jax.ShapeDtypeStruct((pk,), f32),
+        jax.ShapeDtypeStruct((NPAR,), f32),
+    )
+    return jax.jit(whole).lower(*abstract).compile().as_text()
+
+
+def test_hbm_scaled_auto_thresholds(monkeypatch):
+    """The row-chunking / propose-split auto-points were measured on a 16 GB
+    v5e; on hardware reporting a different per-device capacity they must
+    scale linearly (clamped), and backends with no memory stats must fall
+    back to the v5e constants (VERDICT r4 weak #5)."""
+    import abcsmc_tpu.parallel.generation as G
+    from scaling_analysis import build_step
+
+    cases = [
+        (32 * 2**30, 2 * (1 << 25), 2 * (1 << 26)),   # 32 GB: 2x
+        (8 * 2**30, (1 << 25) // 2, (1 << 26) // 2),  # 8 GB: 0.5x
+        (None, 1 << 25, 1 << 26),                     # unreported: v5e base
+        (2**50, 16 * (1 << 25), 16 * (1 << 26)),      # absurd: clamp 16x
+        (1, (1 << 25) // 4, (1 << 26) // 4),          # absurd: clamp 1/4x
+    ]
+    for hbm, want_chunk, want_split in cases:
+        monkeypatch.setattr(G, "_detect_hbm_bytes", lambda m, h=hbm: h)
+        gen = build_step(8, 64, 16)
+        assert gen.row_chunk_threshold == want_chunk, (hbm, gen.row_chunk_threshold)
+        assert gen.split_threshold == want_split, (hbm, gen.split_threshold)
+
+    # the scaled threshold actually gates the split decision
+    monkeypatch.setattr(G, "_detect_hbm_bytes", lambda m: None)
+    gen = build_step(8, 64, 16)
+    gen.split_threshold = 64
+    assert gen.split_propose_active(8 * 64, 8 * 64)       # ln = 64 >= 64
+    assert not gen.split_propose_active(8 * 63, 8 * 63)   # ln = 63 < 64
+    gen.propose_split = False                              # forced beats auto
+    assert not gen.split_propose_active(8 * 64, 8 * 64)
+
+
+def test_forced_row_block_reaches_compiled_program():
+    """`row_block` forced must produce the CHUNKED program (lax.scan row
+    passes -> HLO while loops), not silently fall back to the resident one."""
+    from scaling_analysis import build_step
+
+    gen_res = build_step(8, 4096, 64)
+    gen_chk = build_step(8, 4096, 64)
+    gen_chk.row_block = 64
+    hlo_res = _compile_hlo(gen_res, 4096, 64)
+    hlo_chk = _compile_hlo(gen_chk, 4096, 64)
+    assert hlo_chk.count("while(") > hlo_res.count("while("), (
+        hlo_res.count("while("), hlo_chk.count("while("),
+    )
+
+
+def test_forced_topk_strategy_reaches_compiled_program():
+    """`topk_two_stage` forced must change the compiled collective pattern:
+    the two-stage program gathers distances only (lighter all-gather
+    payload) and assembles survivor rows with extra psums."""
+    single = analyze(8, N, KEEP, "single")
+    two = analyze(8, N, KEEP, "two")
+    assert (two["collectives"]["all-gather"]["bytes"]
+            < single["collectives"]["all-gather"]["bytes"]), (two, single)
+    assert (two["collectives"]["all-reduce"]["count"]
+            > single["collectives"]["all-reduce"]["count"]), (two, single)
+
+
 def test_collective_inventory_parser():
     hlo = """
   ar = (f32[13,13]{1,0}, f32[6]{0}) all-reduce(a, b), replica_groups={}
