@@ -22,6 +22,14 @@ Modes:
     engine_fail    failure propagation: a StorageError injected into the
                    writer's mirror must abort EVERY process promptly
                    (engine._writer_guard), never hang the peers.
+    engine_bridge  HostBridgeSimulator (io_callback black-box host
+                   simulator) inside the fused device program on the
+                   multi-process mesh: each process's callback fires for
+                   its ADDRESSABLE shard only, so every particle's
+                   simulator must run EXACTLY ONCE fleet-wide - proven by
+                   a per-process append-only journal the parent audits
+                   against the store (docs/MIGRATION.md "Host-bridged
+                   simulators", multi-process contract).
 
 Any other mode string is an error (exit 2), never a silent fallback.
 """
@@ -207,6 +215,51 @@ def run_engine_fail(db_path: str, seed: int):
     sys.exit("run_device should have raised on every process")
 
 
+def run_engine_bridge(db_path: str, seed: int):
+    """run_device with a HostBridgeSimulator: the black-box host function
+    journals every row it simulates (params + seed) into THIS process's
+    append-only sidecar, and computes metrics deterministically from the
+    per-particle seed - so the parent can assert (a) exactly-once fleet-wide
+    execution by auditing journals against the store and (b) bit-equal
+    databases across process layouts."""
+    import numpy as _np
+
+    from abcsmc_tpu.engine import AbcSmc
+    from abcsmc_tpu.models.simulators import HostBridgeSimulator
+
+    journal = f"{db_path}.journal.{proc_id}"
+
+    def dice_host(params, seeds):
+        params = _np.asarray(params)
+        seeds = _np.asarray(seeds).astype(_np.uint64)
+        out = _np.empty((len(params), 2), params.dtype)
+        with open(journal, "a") as fh:
+            for i in range(len(params)):
+                nd, sd = int(round(float(params[i, 0]))), int(
+                    round(float(params[i, 1]))
+                )
+                rng = _np.random.default_rng(int(seeds[i]))
+                rolls = rng.integers(1, sd + 1, size=nd)
+                out[i, 0] = rolls.sum()
+                out[i, 1] = rolls.std(ddof=0) if nd > 1 else 0.0
+                fh.write(f"{nd} {sd} {int(seeds[i])}\n")
+        return out
+
+    cfg = dict(CFG, database_filename=db_path)
+    abc = AbcSmc(cfg, simulator=HostBridgeSimulator(dice_host, nmet=2))
+    abc.run_device(seed=seed)
+    gens = abc.storage.read_generations()
+    assert len(gens) == 3 and all(g.complete for g in gens), [
+        (g.set_num, g.size, g.complete) for g in gens
+    ]
+    pars, w = abc.posterior()
+    abc.storage.close()
+    _emit_result(
+        db_path, np.round(float(np.asarray(pars).mean()), 6),
+        np.round(float(np.linalg.norm(np.asarray(w))), 6),
+    )
+
+
 def _emit_result(db_path, a, b):
     """Report (a, b) for this process. Written to a sidecar file when a
     db path exists (gloo writes straight to fd 1, which can interleave
@@ -224,6 +277,8 @@ elif mode == "engine_proj":
     run_engine_projection(sys.argv[5], int(sys.argv[6]))
 elif mode == "engine_fail":
     run_engine_fail(sys.argv[5], int(sys.argv[6]))
+elif mode == "engine_bridge":
+    run_engine_bridge(sys.argv[5], int(sys.argv[6]))
 elif mode in ("engine", "engine_resume"):
     run_engine(sys.argv[5], int(sys.argv[6]))
 else:
