@@ -929,7 +929,8 @@ class AbcSmc:
             )
         elif use_chain:
             _state, chain_hist = gen.run_chain(
-                key, sizes_list, keeps_list, full_history=True
+                key, sizes_list, keeps_list, full_history=True,
+                bucketed_history=True,
             )
         else:
             for t in range(t0, cfg.num_smc_sets):
@@ -1034,16 +1035,59 @@ class AbcSmc:
                 for g in range(cfg.num_smc_sets)
             ]
         elif chain_hist is not None:
-            # run_chain history layout: (sidx, spar, smet, w, dv, ncomp,
-            # params, seeds, metrics) per set -> the mirror-tuple order
-            tuples = [
-                (h[6], h[7], h[8], h[0], h[3], h[4], h[5])
-                for h in chain_hist
-            ]
-            fetched = (
-                [_fetch_mirror_tuple(tup) for tup in tuples] if multi
-                else jax.device_get(tuples)
-            )
+            # run_chain's BUCKETED history: singles carry one set's leaves
+            # (sidx, spar, smet, w, dv, ncomp, params, seeds, metrics),
+            # buckets the scan's stacked [L, ...] versions. Fetch the
+            # stacked leaves whole and slice per set in host numpy: the
+            # per-set device slicing this replaces cost L x 7 tiny slice
+            # programs + as many per-leaf fetches, whose round trips
+            # dominated this phase on the tunneled backend (measured
+            # 288-886 s of a 30-set quick-start vs ~18 s of dispatch;
+            # docs/BENCH_EXTRA_TPU.md "Quick-start chain path").
+            entries = []
+            for entry in chain_hist:
+                if entry[0] == "set":
+                    h = entry[1]
+                    entries.append(
+                        ("set", 1,
+                         (h[6], h[7], h[8], h[0], h[3], h[4], h[5]))
+                    )
+                else:
+                    _, blen, ys = entry
+                    entries.append(
+                        ("bucket", blen,
+                         (ys[6], ys[7], ys[8], ys[0], ys[3], ys[4], ys[5]))
+                    )
+            if multi:
+                host_entries = []
+                for kind, blen, tup in entries:
+                    if kind == "set":
+                        host_entries.append(
+                            (kind, blen, _fetch_mirror_tuple(tup))
+                        )
+                    else:
+                        # stacked population leaves are [L, N, ...]: the
+                        # sharded particle axis is axis 1
+                        big = tuple(
+                            fetch_rows_global(a, mesh, axis=1)
+                            for a in tup[:3]
+                        )
+                        small = self._fetch_global(tuple(tup[3:]), mesh)
+                        host_entries.append((kind, blen, big + small))
+            else:
+                host = jax.device_get([t for _, _, t in entries])
+                host_entries = [
+                    (kind, blen, t)
+                    for (kind, blen, _), t in zip(entries, host)
+                ]
+            fetched = []
+            for kind, blen, t in host_entries:
+                if kind == "set":
+                    fetched.append(t)
+                else:
+                    fetched.extend(
+                        tuple(leaf[g] for leaf in t) for g in range(blen)
+                    )
         else:
             tuples = [
                 (
@@ -1146,6 +1190,20 @@ class AbcSmc:
             surv = np.asarray(surv_h, np.int64)
             ranks = np.full(len(pars_np), -1, np.int64)
             ranks[surv] = np.arange(len(surv))
+            if mirror_here and n_t >= (1 << 24):
+                # size the durable-store bill up front instead of looking
+                # hung: the streamed insert is linear at ~10 us/row with a
+                # ~15 B/value database footprint (docs/SCALING.md "The
+                # durable-store bill"); users who only need the posterior
+                # surfaces can skip it
+                vals_per_row = self.npar * (2 if self.transform.has_any
+                                            else 1) + self.nmet + 3
+                sys.stderr.write(
+                    f"mirroring set {t}: {n_t:,} rows into the durable "
+                    f"store (~{n_t * 10e-6:.0f} s, "
+                    f"~{n_t * vals_per_row * 15 / 2**30:.1f} GB on disk; "
+                    "pass mirror_store=False to run without durability)\n"
+                )
             if mirror_here and t == t0 and pending_serials is not None:
                 # resumed set: rows already exist - guarded writeback (rows
                 # already 'D' keep their stored metrics: first-write-wins)

@@ -1434,7 +1434,7 @@ class ShardedGeneration:
     # ------------------------------------------------------------- chained run
     def run_chain(
         self, key, set_sizes: list[int], keep_sizes: list[int],
-        full_history: bool = False,
+        full_history: bool = False, bucketed_history: bool = False,
     ):
         """A varying-size schedule as FEW jitted programs: maximal runs of
         consecutive sets with constant (n, keep) whose successor size equals
@@ -1454,7 +1454,17 @@ class ShardedGeneration:
         (one entry per set) of tuples ``(survivor_idx, survivor_params,
         survivor_metrics, weights, doubled_variance, ncomp_used[, params,
         seeds, metrics])`` - run_scan's per-generation layout, with device
-        arrays (scanned buckets yield stacked slices)."""
+        arrays (scanned buckets yield stacked slices).
+
+        ``bucketed_history=True`` returns the history UNSLICED instead: a
+        list of ``("set", tuple)`` / ``("bucket", L, ys)`` entries, ``ys``
+        carrying the scan's stacked ``[L, ...]`` leaves. Per-set device
+        slicing of a scanned bucket costs L x leaves tiny slice programs
+        plus as many per-leaf fetches - on a high-latency tunneled backend
+        those round trips dominated the engine's mirror phase (measured
+        288-886 s of a 30-set quick-start vs ~18 s of dispatch); the
+        bucketed form lets the caller fetch each bucket's stacked leaves
+        in ONE transfer and slice in host numpy (engine.run_device)."""
         G = len(set_sizes)
         assert G >= 1 and len(keep_sizes) == G
         key, k0 = jax.random.split(key)
@@ -1504,7 +1514,8 @@ class ShardedGeneration:
                     kts[t], params, seeds, keep_t, n_next, state,
                     n_valid=n_t,
                 )
-                history.append(ys_of(res, params, seeds))
+                entry = ys_of(res, params, seeds)
+                history.append(("set", entry) if bucketed_history else entry)
                 state = (
                     res.survivor_params, res.weights, res.doubled_variance
                 )
@@ -1543,10 +1554,13 @@ class ShardedGeneration:
                     jnp.stack(kts[t:t + L]), params, seeds, *state
                 )
                 params, seeds, state = carry
-                for i in range(L):
-                    history.append(
-                        jax.tree_util.tree_map(lambda x, i=i: x[i], ys)
-                    )
+                if bucketed_history:
+                    history.append(("bucket", L, ys))
+                else:
+                    for i in range(L):
+                        history.append(
+                            jax.tree_util.tree_map(lambda x, i=i: x[i], ys)
+                        )
             t += L
         return state, history
 

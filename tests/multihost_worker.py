@@ -18,6 +18,9 @@ Modes:
                    engine's replicated writes gated to process 0.
     engine_resume  run_device resuming whatever state the parent left in
                    the shared store (mid-set or boundary).
+    engine_chain   varying-size schedule ([64, 96, 96, 96]) -> the
+                   bucketed run_chain fast path with the multi-process
+                   stacked-leaf mirror fetch.
     engine_proj    projection sweep (PSEUDO grid) on the shared store.
     engine_fail    failure propagation: a StorageError injected into the
                    writer's mirror must abort EVERY process promptly
@@ -129,14 +132,20 @@ def run_raw(result_base=None):
     )
 
 
-def run_engine(db_path: str, seed: int):
+def run_engine(db_path: str, seed: int, chain: bool = False):
     from abcsmc_tpu.engine import AbcSmc
 
     cfg = dict(CFG, database_filename=db_path)
+    if chain:
+        # varying sizes -> the bucketed run_chain fast path (singles + a
+        # 2-set scanned bucket), exercising the multi-process stacked-leaf
+        # mirror fetch (engine.run_device chain_hist branch)
+        cfg.update(num_samples=[64, 96, 96, 96], smc_iterations=4)
     abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
     abc.run_device(seed=seed)
     gens = abc.storage.read_generations()
-    assert len(gens) == 3 and all(g.complete for g in gens), [
+    n_sets = 4 if chain else 3
+    assert len(gens) == n_sets and all(g.complete for g in gens), [
         (g.set_num, g.size, g.complete) for g in gens
     ]
     # posterior surfaces agree on every process (replicated device math)
@@ -279,6 +288,8 @@ elif mode == "engine_fail":
     run_engine_fail(sys.argv[5], int(sys.argv[6]))
 elif mode == "engine_bridge":
     run_engine_bridge(sys.argv[5], int(sys.argv[6]))
+elif mode == "engine_chain":
+    run_engine(sys.argv[5], int(sys.argv[6]), chain=True)
 elif mode in ("engine", "engine_resume"):
     run_engine(sys.argv[5], int(sys.argv[6]))
 else:

@@ -94,6 +94,20 @@ def test_two_process_engine_matches_single_process(tmp_path):
     assert _dump_db(db2) == _dump_db(db1)
 
 
+def test_two_process_chain_engine_matches_single_process(tmp_path):
+    """Varying-size schedules take the bucketed run_chain fast path; on a
+    multi-process mesh the mirror fetches each scanned bucket's STACKED
+    leaves through the chunked row-psum path (axis 1) and slices per set
+    on the host - the store must still come out byte-identical to the
+    1-process run."""
+    db2 = str(tmp_path / "chain_two.sqlite")
+    db1 = str(tmp_path / "chain_one.sqlite")
+    r2 = _run_workers(2, ["engine_chain", db2, 23])
+    r1 = _run_workers(1, ["engine_chain", db1, 23])
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    assert _dump_db(db2) == _dump_db(db1)
+
+
 def test_four_process_engine_matches_single_process(tmp_path):
     """The same engine contract at a 4-process x 2-device layout (VERDICT r4
     item 1d): four jax.distributed processes against ONE shared store must
