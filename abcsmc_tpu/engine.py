@@ -809,8 +809,10 @@ class AbcSmc:
         # Per-set dispatch costs ~0.2 s each on a tunneled backend (the RPC,
         # not compute, dominates at small populations); run_scan collapses
         # them into a single launch. Only for fresh runs (no resume state),
-        # uniform (n, keep) across sets, no NRMSE early stop, and a bounded
-        # full-history HBM bill (the stacked [G, N, P+M+1] population copy).
+        # uniform (n, keep) across sets, and a bounded full-history HBM
+        # bill (the stacked [G, N, P+M+1] population copy). NRMSE-tolerance
+        # runs stay fused: the mirror phase applies the convergence cut
+        # post-hoc (see the mirror section below).
         n_sets = cfg.num_smc_sets
         sizes_list = [cfg.smc_size_at(t) for t in range(n_sets)]
         keeps_list = [cfg.pred_prior_size_at(t) for t in range(n_sets)]
@@ -1016,23 +1018,72 @@ class AbcSmc:
         # mirror_s is fetch + store writes + reports on either path.
         t_mirror0 = time.perf_counter()
         multi = jax.process_count() > 1
+        # NRMSE-tolerance fused runs: every set was computed in-program; the
+        # convergence rule applies post-hoc by CUTTING the mirror at the
+        # first converged set - exactly the rows the sequential loop (which
+        # stops dispatching there) would store; the per-set chains are
+        # identical (key-split parity), so this is row-for-row equivalent.
+        # The cut is computed from the SMALL survivor-metrics leaves alone,
+        # fetched first, so the truncated tail sets' O(N) population leaves
+        # never cross the device->host link - the fetch, not the dispatch,
+        # is what dominates on tunneled backends (docs/BENCH_EXTRA_TPU.md
+        # "Quick-start chain path"). Replicated survivor leaves make every
+        # process of a multi-process mesh compute the same cut.
+        cut = None
+        if cfg.nrmse_tolerance and (hist is not None or chain_hist is not None):
+            if hist is not None:
+                smet_h = (
+                    self._fetch_global(hist[2], mesh) if multi
+                    else jax.device_get(hist[2])
+                )
+                smets = list(smet_h)
+            else:
+                leaves = [
+                    e[1][2] if e[0] == "set" else e[2][2]
+                    for e in chain_hist
+                ]
+                host_leaves = (
+                    self._fetch_global(tuple(leaves), mesh) if multi
+                    else jax.device_get(leaves)
+                )
+                smets = []
+                for e, hl in zip(chain_hist, host_leaves):
+                    if e[0] == "set":
+                        smets.append(hl)
+                    else:
+                        smets.extend(hl[i] for i in range(e[1]))
+            cut = len(smets)
+            for i, sm in enumerate(smets):
+                if self._nrmse_converged(sm, t0 + i):
+                    cut = i + 1
+                    break
         if hist is not None:
+            n_keep = cfg.num_smc_sets if cut is None else cut
+            # scan history leaves are [G, ...]: slice the kept prefix on
+            # device (one tiny program per O(N) leaf) before fetching
+            big = (
+                hist[6:9] if n_keep == cfg.num_smc_sets
+                else tuple(h[:n_keep] for h in hist[6:9])
+            )
             if multi:
-                # scan history leaves are [G, ...]: the population axis is
-                # axis 1 on the O(N) leaves (params/seeds/metrics)
+                # the population axis is axis 1 on the O(N) leaves
+                # (params/seeds/metrics)
                 sidx, w_a, dv_a, ncomp_a = self._fetch_global(
                     (hist[0], hist[3], hist[4], hist[5]), mesh
                 )
                 pars_a, seeds_a, mets_a = (
-                    fetch_rows_global(h, mesh, axis=1) for h in hist[6:9]
+                    fetch_rows_global(h, mesh, axis=1) for h in big
                 )
             else:
-                (sidx, _spar, _smet, w_a, dv_a, ncomp_a,
-                 pars_a, seeds_a, mets_a) = jax.device_get(hist)
+                (sidx, w_a, dv_a, ncomp_a, pars_a, seeds_a, mets_a) = (
+                    jax.device_get(
+                        (hist[0], hist[3], hist[4], hist[5]) + tuple(big)
+                    )
+                )
             fetched = [
                 (pars_a[g], seeds_a[g], mets_a[g], sidx[g], w_a[g],
                  dv_a[g], ncomp_a[g])
-                for g in range(cfg.num_smc_sets)
+                for g in range(n_keep)
             ]
         elif chain_hist is not None:
             # run_chain's BUCKETED history: singles carry one set's leaves
@@ -1045,19 +1096,29 @@ class AbcSmc:
             # 288-886 s of a 30-set quick-start vs ~18 s of dispatch;
             # docs/BENCH_EXTRA_TPU.md "Quick-start chain path").
             entries = []
+            s0 = 0
             for entry in chain_hist:
                 if entry[0] == "set":
-                    h = entry[1]
-                    entries.append(
-                        ("set", 1,
-                         (h[6], h[7], h[8], h[0], h[3], h[4], h[5]))
-                    )
+                    blen, h = 1, entry[1]
+                    tup = (h[6], h[7], h[8], h[0], h[3], h[4], h[5])
                 else:
                     _, blen, ys = entry
-                    entries.append(
-                        ("bucket", blen,
-                         (ys[6], ys[7], ys[8], ys[0], ys[3], ys[4], ys[5]))
-                    )
+                    tup = (ys[6], ys[7], ys[8], ys[0], ys[3], ys[4], ys[5])
+                if cut is not None:
+                    if s0 >= cut:
+                        break
+                    if blen > cut - s0:
+                        # the bucket straddling the convergence cut: slice
+                        # its stacked leaves on device ONCE (7 tiny slice
+                        # programs total, not per set) so the truncated
+                        # tail never crosses the tunnel
+                        blen = cut - s0
+                        tup = tuple(a[:blen] for a in tup)
+                s0 += blen
+                entries.append(
+                    ("set", 1, tup) if entry[0] == "set"
+                    else ("bucket", blen, tup)
+                )
             if multi:
                 host_entries = []
                 for kind, blen, tup in entries:
@@ -1100,23 +1161,6 @@ class AbcSmc:
                 [_fetch_mirror_tuple(tup) for tup in tuples] if multi
                 else jax.device_get(tuples)
             )
-        if cfg.nrmse_tolerance and (hist is not None or chain_hist is not None):
-            # fused dispatch computed every set; apply the convergence rule
-            # post-hoc by truncating the mirror at the first converged set,
-            # so the store receives exactly the rows the sequential loop
-            # (which stops dispatching there) would have written. The
-            # per-set chains are identical (key-split parity), so this is
-            # row-for-row equivalent; replicated data makes every process
-            # of a multi-process mesh compute the same cut.
-            cut = len(fetched)
-            for i, host in enumerate(fetched):
-                surv_mets = np.asarray(host[2], np.float64)[
-                    np.asarray(host[3], np.int64)
-                ]
-                if self._nrmse_converged(surv_mets, t0 + i):
-                    cut = i + 1
-                    break
-            fetched = fetched[:cut]
         # the mirror loop is collective-free (fetches done above), so a
         # store error on the writer must not strand the peers in the final
         # _mesh_sync below - the guard turns it into an every-process raise

@@ -19,6 +19,7 @@ fuses into large batched XLA ops on the MXU/VPU.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 from typing import Any
 
@@ -225,8 +226,15 @@ class ShardedGeneration:
         # misreported bytes_limit can't push either threshold into a
         # pathological regime; explicit row_block / propose_split config
         # always wins over these.
+        # the scale is quantized to the nearest power of two: TPU
+        # generations differ by 2x HBM steps (v5e 16 GB, v4/v6e 32 GB, ...)
+        # while a backend's REPORTED bytes_limit sits a few percent under
+        # nominal capacity (XLA reserves a slice) - without quantization the
+        # thresholds would silently drift below their measured points on
+        # the very v5e they were calibrated on
         hbm = _detect_hbm_bytes(mesh)
-        scale = min(max((hbm / _V5E_HBM_BYTES) if hbm else 1.0, 0.25), 16.0)
+        scale = 2.0 ** round(math.log2(hbm / _V5E_HBM_BYTES)) if hbm else 1.0
+        scale = min(max(scale, 0.25), 16.0)
         self.hbm_bytes = hbm
         self.row_chunk_threshold = max(1, int((1 << 25) * scale))
         self.split_threshold = max(1, int((1 << 26) * scale))

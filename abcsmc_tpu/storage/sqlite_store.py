@@ -204,51 +204,10 @@ class SQLiteStorage(Storage):
                 # crash window first); abort without inserting
                 conn.execute("ROLLBACK")
                 return None
-            now = int(time.time())
-            npar = len(self.par_names)
-            par_ph = ", ".join(["?"] * npar)
-            met_ph = ", ".join(["NULL"] * len(self.met_names))
-            # stream in bounded row windows (see INSERT_WINDOW_ROWS): one
-            # window's Python rows are boxed at a time, still inside ONE
-            # all-or-nothing transaction
-            for w0 in range(0, n, window):
-                w1 = min(w0 + window, n)
-                # seed stored as a text blob, matching the reference's
-                # quoted insert (src/AbcSmc.cpp:537, 859-860)
-                seeds_w = [str(int(s)) for s in seeds[w0:w1]]
-                conn.executemany(
-                    f"insert into {self._job} values "
-                    f"( ?, ?, ?, ?, NULL, 'Q', ?, 0 )",
-                    (
-                        (
-                            start + i, int(set_num), i, now,
-                            int(posterior_ranks[i])
-                            if posterior_ranks is not None else -1,
-                        )
-                        for i in range(w0, w1)
-                    ),
-                )
-                pw = params[w0:w1].tolist()
-                conn.executemany(
-                    f"insert into {self._par} values ( ?, ?, {par_ph} )",
-                    (
-                        (start + w0 + j, seeds_w[j], *pw[j])
-                        for j in range(w1 - w0)
-                    ),
-                )
-                if upars is not None:
-                    uw = upars[w0:w1].tolist()
-                    conn.executemany(
-                        f"insert into {UPAR_TABLE} values ( ?, ?, {par_ph} )",
-                        (
-                            (start + w0 + j, seeds_w[j], *uw[j])
-                            for j in range(w1 - w0)
-                        ),
-                    )
-                conn.executemany(
-                    f"insert into {self._met} values ( ?, {met_ph} )",
-                    ((start + i,) for i in range(w0, w1)),
-                )
+            self._stream_insert_windows(
+                conn, start, set_num, params, seeds, upars,
+                posterior_ranks, None, "NULL, 'Q', ?, 0", window,
+            )
             conn.execute("COMMIT")
         except Exception:
             conn.execute("ROLLBACK")
@@ -291,50 +250,74 @@ class SQLiteStorage(Storage):
                 f"select coalesce(max(serial), -1) from {self._job}"
             ).fetchone()
             start = int(row[0]) + 1
-            now = int(time.time())
-            par_ph = ", ".join(["?"] * len(self.par_names))
-            met_ph = ", ".join(["?"] * len(self.met_names))
-            for w0 in range(0, n, window):
-                w1 = min(w0 + window, n)
-                seeds_w = [str(int(s)) for s in seeds[w0:w1]]
-                conn.executemany(
-                    f"insert into {self._job} values "
-                    f"( ?, ?, ?, ?, 0.0, 'D', ?, 1 )",
-                    (
-                        (start + i, int(set_num), i, now,
-                         int(ranks[i]) if ranks is not None else -1)
-                        for i in range(w0, w1)
-                    ),
-                )
-                pw = params[w0:w1].tolist()
-                conn.executemany(
-                    f"insert into {self._par} values ( ?, ?, {par_ph} )",
-                    (
-                        (start + w0 + j, seeds_w[j], *pw[j])
-                        for j in range(w1 - w0)
-                    ),
-                )
-                if upars is not None:
-                    uw = upars[w0:w1].tolist()
-                    conn.executemany(
-                        f"insert into {UPAR_TABLE} values ( ?, ?, {par_ph} )",
-                        (
-                            (start + w0 + j, seeds_w[j], *uw[j])
-                            for j in range(w1 - w0)
-                        ),
-                    )
-                mw = metrics[w0:w1].tolist()
-                conn.executemany(
-                    f"insert into {self._met} values ( ?, {met_ph} )",
-                    (
-                        (start + w0 + j, *mw[j]) for j in range(w1 - w0)
-                    ),
-                )
+            self._stream_insert_windows(
+                conn, start, set_num, params, seeds, upars,
+                ranks, metrics, "0.0, 'D', ?, 1", window,
+            )
             conn.execute("COMMIT")
         except Exception:
             conn.execute("ROLLBACK")
             raise
         return np.arange(start, start + n, dtype=np.int64)
+
+    def _stream_insert_windows(
+        self, conn, start, set_num, params, seeds, upars, ranks, metrics,
+        job_tail_sql, window,
+    ):
+        """Shared windowed bulk-insert loop (see INSERT_WINDOW_ROWS): one
+        window's Python rows are boxed at a time, all inside the CALLER's
+        enclosing transaction. ``job_tail_sql`` fills the job row's
+        (duration, status, posterior, attempts) columns; ``metrics`` None
+        writes NULL met rows (queued jobs), an [N, M] matrix writes values
+        (finished generations)."""
+        n = params.shape[0]
+        now = int(time.time())
+        par_ph = ", ".join(["?"] * len(self.par_names))
+        met_ph = ", ".join(
+            ["?" if metrics is not None else "NULL"] * len(self.met_names)
+        )
+        for w0 in range(0, n, window):
+            w1 = min(w0 + window, n)
+            # seed stored as a text blob, matching the reference's quoted
+            # insert (src/AbcSmc.cpp:537, 859-860)
+            seeds_w = [str(int(s)) for s in seeds[w0:w1]]
+            conn.executemany(
+                f"insert into {self._job} values "
+                f"( ?, ?, ?, ?, {job_tail_sql} )",
+                (
+                    (start + i, int(set_num), i, now,
+                     int(ranks[i]) if ranks is not None else -1)
+                    for i in range(w0, w1)
+                ),
+            )
+            pw = params[w0:w1].tolist()
+            conn.executemany(
+                f"insert into {self._par} values ( ?, ?, {par_ph} )",
+                (
+                    (start + w0 + j, seeds_w[j], *pw[j])
+                    for j in range(w1 - w0)
+                ),
+            )
+            if upars is not None:
+                uw = upars[w0:w1].tolist()
+                conn.executemany(
+                    f"insert into {UPAR_TABLE} values ( ?, ?, {par_ph} )",
+                    (
+                        (start + w0 + j, seeds_w[j], *uw[j])
+                        for j in range(w1 - w0)
+                    ),
+                )
+            if metrics is None:
+                conn.executemany(
+                    f"insert into {self._met} values ( ?, {met_ph} )",
+                    ((start + i,) for i in range(w0, w1)),
+                )
+            else:
+                mw = metrics[w0:w1].tolist()
+                conn.executemany(
+                    f"insert into {self._met} values ( ?, {met_ph} )",
+                    ((start + w0 + j, *mw[j]) for j in range(w1 - w0)),
+                )
 
     # -- reads -----------------------------------------------------------------
     def read_generations(self):

@@ -25,6 +25,13 @@ Modes:
     engine_fail    failure propagation: a StorageError injected into the
                    writer's mirror must abort EVERY process promptly
                    (engine._writer_guard), never hang the peers.
+    engine_tol     NRMSE-tolerance run on the varying-size chain: the fused
+                   dispatch computes every set, every process computes the
+                   SAME convergence cut from the replicated survivor-metric
+                   leaves, and the straddling scan bucket's stacked leaves
+                   are sliced on device before the multi-process mirror
+                   fetch - the shared store must hold exactly the converged
+                   prefix (engine.run_device cut logic).
     engine_bridge  HostBridgeSimulator (io_callback black-box host
                    simulator) inside the fused device program on the
                    multi-process mesh: each process's callback fires for
@@ -132,7 +139,8 @@ def run_raw(result_base=None):
     )
 
 
-def run_engine(db_path: str, seed: int, chain: bool = False):
+def run_engine(db_path: str, seed: int, chain: bool = False,
+               tolerance: float | None = None):
     from abcsmc_tpu.engine import AbcSmc
 
     cfg = dict(CFG, database_filename=db_path)
@@ -141,10 +149,19 @@ def run_engine(db_path: str, seed: int, chain: bool = False):
         # 2-set scanned bucket), exercising the multi-process stacked-leaf
         # mirror fetch (engine.run_device chain_hist branch)
         cfg.update(num_samples=[64, 96, 96, 96], smc_iterations=4)
+    if tolerance is not None:
+        cfg["nrmse_tolerance"] = tolerance
     abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
     abc.run_device(seed=seed)
     gens = abc.storage.read_generations()
-    n_sets = 4 if chain else 3
+    if tolerance is not None:
+        # the convergence cut must have truncated the fused chain strictly
+        # inside the trailing scanned bucket (sets 2-3): exactly 3 sets -
+        # the (seed, tolerance) pair in the test is pinned to make that
+        # deterministic, so a pass genuinely exercised the straddle slice
+        n_sets = 3
+    else:
+        n_sets = 4 if chain else 3
     assert len(gens) == n_sets and all(g.complete for g in gens), [
         (g.set_num, g.size, g.complete) for g in gens
     ]
@@ -290,6 +307,9 @@ elif mode == "engine_bridge":
     run_engine_bridge(sys.argv[5], int(sys.argv[6]))
 elif mode == "engine_chain":
     run_engine(sys.argv[5], int(sys.argv[6]), chain=True)
+elif mode == "engine_tol":
+    run_engine(sys.argv[5], int(sys.argv[6]), chain=True,
+               tolerance=float(sys.argv[7]))
 elif mode in ("engine", "engine_resume"):
     run_engine(sys.argv[5], int(sys.argv[6]))
 else:

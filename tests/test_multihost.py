@@ -234,6 +234,29 @@ def test_two_process_projection_sweep_matches_single_process(tmp_path):
     assert att == (1, 1), att
 
 
+def test_two_process_tolerance_cut_matches_single_process(tmp_path):
+    """NRMSE-tolerance run on the fused multi-process chain: every process
+    computes the SAME convergence cut from the replicated survivor-metric
+    leaves (fetched BEFORE any O(N) population leaf), and the straddling
+    scan bucket's stacked leaves are sliced on device before the mirror
+    fetch. Seed 23's NRMSE trajectory (0.321, 0.218, 0.118, 0.030) with
+    tolerance 0.15 cuts at set 2 - one set into the trailing 2-set scanned
+    bucket - so the store must hold exactly 3 complete sets (the worker
+    asserts the count), byte-identical across process layouts."""
+    db2 = str(tmp_path / "tol_two.sqlite")
+    db1 = str(tmp_path / "tol_one.sqlite")
+    r2 = _run_workers(2, ["engine_tol", db2, 23, 0.15])
+    r1 = _run_workers(1, ["engine_tol", db1, 23, 0.15])
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    assert _dump_db(db2) == _dump_db(db1)
+    conn = sqlite3.connect(db2)
+    sets = conn.execute(
+        "select smcSet, count(*) from job group by smcSet"
+    ).fetchall()
+    conn.close()
+    assert sets == [(0, 64), (1, 96), (2, 96)], sets
+
+
 def test_two_process_host_bridge_exactly_once(tmp_path):
     """HostBridgeSimulator on a multi-process mesh (VERDICT r4 weak #4):
     each process's io_callback fires for its ADDRESSABLE shard only, so a

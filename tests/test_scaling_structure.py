@@ -117,6 +117,12 @@ def test_hbm_scaled_auto_thresholds(monkeypatch):
         (None, 1 << 25, 1 << 26),                     # unreported: v5e base
         (2**50, 16 * (1 << 25), 16 * (1 << 26)),      # absurd: clamp 16x
         (1, (1 << 25) // 4, (1 << 26) // 4),          # absurd: clamp 1/4x
+        # the scale quantizes to the nearest power of two: a v5e REPORTING
+        # usable HBM a few percent under its nominal 16 GB (XLA reserves a
+        # slice) must keep the measured constants, not silently drift
+        # below them
+        (int(15.5 * 2**30), 1 << 25, 1 << 26),        # real v5e report: 1x
+        (30 * 2**30, 2 * (1 << 25), 2 * (1 << 26)),   # real 32 GB report: 2x
     ]
     for hbm, want_chunk, want_split in cases:
         monkeypatch.setattr(G, "_detect_hbm_bytes", lambda m, h=hbm: h)
