@@ -32,6 +32,9 @@ Modes:
                    are sliced on device before the multi-process mirror
                    fetch - the shared store must hold exactly the converged
                    prefix (engine.run_device cut logic).
+    engine_tol_scan  the same convergence-cut contract on the UNIFORM-size
+                   run_scan fast path: the cut slices the stacked [G, ...]
+                   history leaves on device before the multi-process fetch.
     engine_bridge  HostBridgeSimulator (io_callback black-box host
                    simulator) inside the fused device program on the
                    multi-process mesh: each process's callback fires for
@@ -140,7 +143,8 @@ def run_raw(result_base=None):
 
 
 def run_engine(db_path: str, seed: int, chain: bool = False,
-               tolerance: float | None = None):
+               tolerance: float | None = None,
+               expect_sets: int | None = None):
     from abcsmc_tpu.engine import AbcSmc
 
     cfg = dict(CFG, database_filename=db_path)
@@ -154,12 +158,13 @@ def run_engine(db_path: str, seed: int, chain: bool = False,
     abc = AbcSmc(cfg, simulator=make_dice_simulator(max_dice=50))
     abc.run_device(seed=seed)
     gens = abc.storage.read_generations()
-    if tolerance is not None:
-        # the convergence cut must have truncated the fused chain strictly
-        # inside the trailing scanned bucket (sets 2-3): exactly 3 sets -
-        # the (seed, tolerance) pair in the test is pinned to make that
-        # deterministic, so a pass genuinely exercised the straddle slice
-        n_sets = 3
+    if expect_sets is not None:
+        # a tolerance run: the convergence cut must have truncated the
+        # fused run at exactly this many sets (strictly fewer than the
+        # schedule) - the (seed, tolerance) pair in the test is pinned to
+        # make the cut deterministic, so a pass genuinely exercised the
+        # mid-run truncation the mode exists for
+        n_sets = expect_sets
     else:
         n_sets = 4 if chain else 3
     assert len(gens) == n_sets and all(g.complete for g in gens), [
@@ -309,7 +314,12 @@ elif mode == "engine_chain":
     run_engine(sys.argv[5], int(sys.argv[6]), chain=True)
 elif mode == "engine_tol":
     run_engine(sys.argv[5], int(sys.argv[6]), chain=True,
-               tolerance=float(sys.argv[7]))
+               tolerance=float(sys.argv[7]), expect_sets=3)
+elif mode == "engine_tol_scan":
+    # uniform sizes -> the run_scan fast path: the cut slices the stacked
+    # [G, ...] history leaves on device before the multi-process fetch
+    run_engine(sys.argv[5], int(sys.argv[6]),
+               tolerance=float(sys.argv[7]), expect_sets=2)
 elif mode in ("engine", "engine_resume"):
     run_engine(sys.argv[5], int(sys.argv[6]))
 else:

@@ -257,6 +257,26 @@ def test_two_process_tolerance_cut_matches_single_process(tmp_path):
     assert sets == [(0, 64), (1, 96), (2, 96)], sets
 
 
+def test_two_process_tolerance_scan_cut_matches_single_process(tmp_path):
+    """The same convergence-cut contract on the UNIFORM-size run_scan fast
+    path: the stacked [G, ...] history leaves are sliced to the cut on
+    device before the multi-process row-psum fetch. Seed 11's trajectory
+    (0.350, 0.224, 0.088) with tolerance 0.3 cuts at set 1, so exactly 2 of
+    the 3 scheduled sets land (the worker asserts the count)."""
+    db2 = str(tmp_path / "tolscan_two.sqlite")
+    db1 = str(tmp_path / "tolscan_one.sqlite")
+    r2 = _run_workers(2, ["engine_tol_scan", db2, 11, 0.3])
+    r1 = _run_workers(1, ["engine_tol_scan", db1, 11, 0.3])
+    assert r2["0"] == r2["1"] == r1["0"], (r2, r1)
+    assert _dump_db(db2) == _dump_db(db1)
+    conn = sqlite3.connect(db2)
+    sets = conn.execute(
+        "select smcSet, count(*) from job group by smcSet"
+    ).fetchall()
+    conn.close()
+    assert sets == [(0, 96), (1, 96)], sets
+
+
 def test_two_process_host_bridge_exactly_once(tmp_path):
     """HostBridgeSimulator on a multi-process mesh (VERDICT r4 weak #4):
     each process's io_callback fires for its ADDRESSABLE shard only, so a
