@@ -677,6 +677,22 @@ def parse_config(source: str | os.PathLike | dict) -> SmcConfig:
         num_smc_sets, training_frac, set_sizes, pred_prior_sizes, projection
     ) = _parse_iterations(par, pseudosize)
 
+    if not projection:
+        # fitting mode ranks particles by distance to the observed vector: a
+        # metric without a "value" would NaN-poison every distance and make
+        # the 'survivors' the first K rows in insertion order, silently.
+        # (The reference's jsoncpp null.asDouble() would quietly use 0.0 -
+        # src/AbcSmc.cpp:142 - equally wrong statistically; we fail fast
+        # instead. Deliberate deviation, docs/PARITY.md. Projection configs
+        # legitimately omit values: nothing is ranked there.)
+        missing = [m.name for m in metrics if math.isnan(m.value)]
+        if missing:
+            raise ConfigError(
+                "metric(s) missing an observed 'value' in a fitting-mode "
+                f"configuration: {', '.join(missing)}.",
+                code=1,
+            )
+
     if any_posterior:
         if "posterior_database_filename" not in par:
             raise ConfigError(

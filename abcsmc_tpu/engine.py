@@ -78,13 +78,12 @@ class AbcSmc:
         else:
             self.storage = MemoryStorage()
         if hasattr(self.storage, "meta") and self.storage.meta is None:
-            import json as _json
             from abcsmc_tpu import __version__
 
             self.storage.meta = {
                 "framework": f"abcsmc-tpu {__version__}",
                 "created": int(time.time()),
-                "config": _json.dumps(config.raw) if config.raw else "",
+                "config": json.dumps(config.raw) if config.raw else "",
             }
 
         # POSTERIOR parameters source their values from a previous run's DB

@@ -132,7 +132,15 @@ class ContinuousUniformPrior(Parameter):
 
     def __init__(self, name, min_val, max_val, short_name=None):
         super().__init__(name, short_name)
-        assert min_val < max_val
+        if not min_val < max_val:
+            # a coded error, not an assert: the reference's Priors.h:95
+            # assert vanishes under NDEBUG and a reversed interval then
+            # yields NaN importance weights silently
+            raise ConfigError(
+                f"UNIFORM parameter '{name}': par1 ({min_val}) must be < "
+                f"par2 ({max_val}).",
+                code=1,
+            )
         self.min_val = float(min_val)
         self.max_val = float(max_val)
 
@@ -166,7 +174,13 @@ class DiscreteUniformPrior(_IntRecastMixin, Parameter):
 
     def __init__(self, name, min_val, max_val, short_name=None):
         super().__init__(name, short_name)
-        assert min_val < max_val
+        if not min_val < max_val:
+            # same coded error as ContinuousUniformPrior (Priors.h:69)
+            raise ConfigError(
+                f"UNIFORM INT parameter '{name}': par1 ({min_val}) must be "
+                f"< par2 ({max_val}).",
+                code=1,
+            )
         self.min_val = int(min_val)
         self.max_val = int(max_val)
 

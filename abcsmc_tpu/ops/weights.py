@@ -34,14 +34,10 @@ Parity quirks preserved:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-
-_LOG_2PI = math.log(2.0 * math.pi)
-
 
 def uniform_weights(n: int, dtype=jnp.float32):
     """Generation-0 predictive prior weights (src/AbcUtil.cpp:539-545)."""

@@ -12,7 +12,6 @@ import time
 
 import numpy as np
 
-from abcsmc_tpu.errors import StorageError
 from abcsmc_tpu.storage.base import ClaimedJobs, GenerationData, Storage
 
 
@@ -118,12 +117,16 @@ class MemoryStorage(Storage):
             sets = np.asarray(self.smc_set)
             with_post = sets[post > -1]
             if with_post.size == 0:
-                raise StorageError("no posterior-ranked set to simulate from")
-            max_set = with_post.max()
-            chosen = [
-                i for i in range(len(self.serial))
-                if sets[i] == max_set and post[i] == posterior_req
-            ]
+                # no posterior-ranked set yet -> empty claim, matching the
+                # SQLite store (whose subquery is NULL then, selecting
+                # nothing) so the engine API is backend-invariant
+                chosen = []
+            else:
+                max_set = with_post.max()
+                chosen = [
+                    i for i in range(len(self.serial))
+                    if sets[i] == max_set and post[i] == posterior_req
+                ]
         else:
             cand = [
                 i for i in range(len(self.serial)) if self.status[i] in ("Q", "R")

@@ -388,6 +388,11 @@ class SQLiteStorage(Storage):
     # -- job queue ----------------------------------------------------------------
     def claim_jobs(self, n=1, serial_req=-1, posterior_req=-1):
         conn = self._connect()
+        if not self.par_names:
+            # the handle may predate the tables (a worker starting before
+            # the builder's --process on a shared DB): re-resolve the
+            # schema now, or the par_sel below is permanently empty SQL
+            self._load_schema_if_present()
         table = UPAR_TABLE if self.has_upar else self._par
         par_sel = ", ".join(f"P.{nm}" for nm in self.par_names)
         base = (
@@ -452,6 +457,10 @@ class SQLiteStorage(Storage):
 
     def write_results(self, serials, metrics, start_times, durations):
         conn = self._connect()
+        if not self.met_names:
+            # same late-schema guard as claim_jobs: a pre-tables handle
+            # would render 'update met set  where ...' forever
+            self._load_schema_if_present()
         met_set = ", ".join(f"{nm} = ?" for nm in self.met_names)
         written = 0
         conn.execute("BEGIN EXCLUSIVE")

@@ -283,3 +283,40 @@ def test_default_iterations_from_size_arrays():
     del cfg["smc_iterations"]
     parsed = parse_config(cfg)
     assert parsed.num_smc_sets == 5  # len([300, 500, 500, 750, 1000])
+
+
+def test_fitting_mode_requires_metric_values():
+    """A metric without an observed 'value' in FITTING mode would NaN-poison
+    every ranking distance (the 'survivors' would be the first K rows in
+    insertion order, silently); the parser fails fast instead. Deliberate
+    deviation from the reference, whose jsoncpp null.asDouble() would
+    quietly use 0.0 (src/AbcSmc.cpp:142) - equally wrong statistically.
+    Projection configs legitimately omit values: nothing is ranked there."""
+    base = json.load(open(REFERENCE_JSON))
+    cfg = json.loads(json.dumps(base))
+    del cfg["metrics"][1]["value"]
+    with pytest.raises(ConfigError) as ei:
+        parse_config(cfg)
+    assert "missing an observed 'value'" in str(ei.value)
+    assert cfg["metrics"][1]["name"] in str(ei.value)
+
+    # projection mode (the reference's pseudo example omits values): fine
+    assert parse_config(PSEUDO_JSON).projection_mode
+
+
+def test_uniform_reversed_bounds_is_coded_config_error():
+    """par1 >= par2 on a UNIFORM prior raises ConfigError at construction,
+    not a bare assert (the reference's Priors.h:69/95 assert disappears
+    under NDEBUG, after which a reversed interval silently yields NaN
+    importance weights)."""
+    from abcsmc_tpu.models.parameters import ParameterSet
+
+    base = json.load(open(REFERENCE_JSON))
+    for num_type in ("INT", "FLOAT"):
+        cfg = json.loads(json.dumps(base))
+        cfg["parameters"][0]["num_type"] = num_type
+        cfg["parameters"][0]["par1"] = 10
+        cfg["parameters"][0]["par2"] = 10
+        parsed = parse_config(cfg)  # schema-valid; bounds checked at build
+        with pytest.raises(ConfigError):
+            ParameterSet.from_specs(parsed.parameters)
