@@ -808,6 +808,33 @@ class ShardedGeneration:
                 rank_mets_l = mets_l
                 obs_eff = obs
 
+            # shifted one-pass moments: accumulate sum(x-c) and sum((x-c)^2)
+            # around a replicated pre-center c instead of raw moments. The
+            # raw formula s2 - n*mean^2 cancels catastrophically at f32 once
+            # |mean| >> sd (epi-count metrics at 1e5 scale lose every sd
+            # digit: s2 and n*mean^2 agree to f32 ulp), silently zeroing or
+            # mis-scaling the z-scores that drive ranking, the PLS Grams,
+            # and obs_z. With c near the data (the observed vector for
+            # metrics; prior means / previous-survivor means for parameters)
+            # the cancellation ratio drops from (mean/sd)^2 to O(1) - the
+            # shifted formula is exact in infinite precision for ANY c and
+            # f32-accurate whenever |mean - c| = O(sd)..O(100 sd). The host
+            # rule (stats.colwise_stdev) is two-pass; device-vs-host
+            # agreement at large means is pinned by
+            # tests/test_sharded.py::test_large_mean_metric_moments_f32.
+            c_met = obs_eff
+            if use_pls:
+                c_par = (
+                    jnp.asarray(
+                        np.nan_to_num(
+                            self.par_set.means(), posinf=0.0, neginf=0.0
+                        ),
+                        self.dtype,
+                    )
+                    if first
+                    else jnp.mean(prev_par, axis=0)
+                )
+
             if use_chunked:
                 def rank_rows(g, mb):
                     """Ranking-space metric block: Box-Cox applied on the
@@ -823,19 +850,19 @@ class ShardedGeneration:
                 def pass_moments(carry, xs):
                     g, fresh, mb, pb = block_rows(*xs)
                     vm = ((g < n_true) & fresh).astype(self.dtype)[:, None]
-                    mv_b = mb * vm
-                    a1, a2 = carry[0] + jnp.sum(mv_b, axis=0), (
-                        carry[1] + jnp.sum(mv_b * mb, axis=0)
+                    md_b = (mb - c_met[None, :]) * vm
+                    a1, a2 = carry[0] + jnp.sum(md_b, axis=0), (
+                        carry[1] + jnp.sum(md_b * md_b, axis=0)
                     )
                     if not use_pls:
                         # SIMPLE filter never consumes parameter moments -
                         # keep the dead reads structurally absent
                         return (a1, a2), None
-                    pv_b = pb * vm
+                    pd_b = (pb - c_par[None, :]) * vm
                     return (
                         a1, a2,
-                        carry[2] + jnp.sum(pv_b, axis=0),
-                        carry[3] + jnp.sum(pv_b * pb, axis=0),
+                        carry[2] + jnp.sum(pd_b, axis=0),
+                        carry[3] + jnp.sum(pd_b * pd_b, axis=0),
                     ), None
 
                 zm = jnp.zeros((nmet,), self.dtype)
@@ -850,13 +877,14 @@ class ShardedGeneration:
                 s1 = jax.lax.psum(s1, AXIS)
                 s2 = jax.lax.psum(s2, AXIS)
             else:
-                # ---- global metric moments (psum) ----
-                mv = rank_mets_l * vmask
-                s1 = jax.lax.psum(jnp.sum(mv, axis=0), AXIS)
-                s2 = jax.lax.psum(jnp.sum(mv * rank_mets_l, axis=0), AXIS)
-            mean = s1 / n_true
+                # ---- global metric moments (psum, shifted by c_met) ----
+                md = (rank_mets_l - c_met[None, :]) * vmask
+                s1 = jax.lax.psum(jnp.sum(md, axis=0), AXIS)
+                s2 = jax.lax.psum(jnp.sum(md * md, axis=0), AXIS)
+            dmean = s1 / n_true
+            mean = c_met + dmean
             sd = jnp.sqrt(
-                jnp.maximum(s2 - n_true * mean * mean, 0.0) / (n_true - 1)
+                jnp.maximum(s2 - n_true * dmean * dmean, 0.0) / (n_true - 1)
             )
             # constant column -> unit scale (same conscious fix as
             # ranking._guard_sd; a tiny-eps floor would blow obs_z up to ~1e30
@@ -864,7 +892,10 @@ class ShardedGeneration:
             sd = jnp.where(sd <= eps, 1.0, sd)
             if not use_chunked:
                 zmet_l = (rank_mets_l - mean) / sd
-            obs_z = (obs_eff - mean) / sd
+            # c_met == obs_eff, so obs_eff - mean == -dmean exactly; the
+            # composed form would re-round the large c_met + dmean sum and
+            # lose dmean's low bits at large |obs|
+            obs_z = -dmean / sd
 
             if use_pls:
                 # ---- global parameter moments ----
@@ -872,12 +903,13 @@ class ShardedGeneration:
                     p1 = jax.lax.psum(p1, AXIS)
                     p2 = jax.lax.psum(p2, AXIS)
                 else:
-                    pv = params_l * vmask
-                    p1 = jax.lax.psum(jnp.sum(pv, axis=0), AXIS)
-                    p2 = jax.lax.psum(jnp.sum(pv * params_l, axis=0), AXIS)
-                pmean = p1 / n_true
+                    pd = (params_l - c_par[None, :]) * vmask
+                    p1 = jax.lax.psum(jnp.sum(pd, axis=0), AXIS)
+                    p2 = jax.lax.psum(jnp.sum(pd * pd, axis=0), AXIS)
+                pdmean = p1 / n_true
+                pmean = c_par + pdmean
                 psd = jnp.sqrt(
-                    jnp.maximum(p2 - n_true * pmean * pmean, 0.0)
+                    jnp.maximum(p2 - n_true * pdmean * pdmean, 0.0)
                     / (n_true - 1)
                 )
                 psd = jnp.where(psd <= eps, 1.0, psd)

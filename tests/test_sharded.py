@@ -1111,3 +1111,98 @@ def test_topk_two_stage_equivalence():
         8 * 50_000 * 4 * jnp.dtype(g8.dtype).itemsize
         >= g8._TOPK_TWO_STAGE_BYTES
     )
+
+
+def test_large_mean_metric_moments_f32():
+    """f32 z-scoring moments must survive |mean| >> sd data (epi-count
+    scale): the raw-moment formula s2 - n*mean^2 loses every sd digit at
+    mean ~1e5 (s2 and n*mean^2 agree to f32 ulp), silently zeroing or
+    mis-scaling the metric scales that drive ranking. The shifted
+    accumulation (generation.py, centered on the replicated observed
+    vector) keeps f32 device distances within 1e-3 of the host f64
+    two-pass rule on the same (f32-quantized) data."""
+    from abcsmc_tpu.ops import ranking
+
+    rng = np.random.default_rng(11)
+    n, keep = 64, 16
+    params = rng.uniform(1, 50, (n, 2))
+    mets32 = np.stack([
+        1e5 + 30.0 * rng.normal(size=n),     # |mean| >> sd
+        100.0 * rng.normal(size=n),          # ordinary scale
+    ], axis=1).astype(np.float32)
+    obs = np.array([1e5, 0.0])
+
+    gen = make_gen(filter_type=FilterType.SIMPLE, dtype=jnp.float32)
+    gen.obs = obs
+    res = gen.step_precomputed(
+        jax.random.PRNGKey(0), jnp.asarray(params, jnp.float32),
+        jnp.asarray(mets32), keep, 0, None,
+    )
+    order, host_d = ranking.ranking_simple(
+        jnp.asarray(mets32, jnp.float64), jnp.asarray(obs, jnp.float64)
+    )
+    dev_d = np.asarray(res.distances)[:n]
+    np.testing.assert_allclose(dev_d, np.asarray(host_d), rtol=1e-3)
+    assert set(np.asarray(res.survivor_idx).tolist()) == set(
+        np.asarray(order)[:keep].tolist()
+    )
+
+
+def test_large_mean_pls_moments_f32():
+    """The PLS path's parameter z-scoring has the same f32 hazard; the
+    shift center is the prior means on the first generation (statically
+    known) and the previous survivor means afterwards. An f32 step on
+    mean-1e6 parameters must agree with the f64 step on identical data."""
+    from abcsmc_tpu.models.simulators import make_dice_simulator
+
+    spec = [
+        {"name": "a", "dist_type": "UNIFORM", "num_type": "FLOAT",
+         "par1": 999900.0, "par2": 1000100.0},
+        {"name": "b", "dist_type": "UNIFORM", "num_type": "FLOAT",
+         "par1": 999900.0, "par2": 1000100.0},
+    ]
+    cfg = parse_config({
+        "smc_iterations": 2, "num_samples": 64,
+        "predictive_prior_fraction": 0.25,
+        "parameters": spec,
+        "metrics": [
+            {"name": "m1", "num_type": "FLOAT", "value": 2e6},
+            {"name": "m2", "num_type": "FLOAT", "value": 100.0},
+        ],
+    })
+    rng = np.random.default_rng(7)
+    n, keep = 64, 16
+    params64 = rng.uniform(999900, 1000100, (n, 2))
+    mets64 = np.stack([
+        params64.sum(axis=1) + 5.0 * rng.normal(size=n),
+        (params64[:, 0] - params64[:, 1]) + 5.0 * rng.normal(size=n),
+    ], axis=1)
+    params32 = params64.astype(np.float32)
+    mets32 = mets64.astype(np.float32)
+    obs = np.array([2e6, 100.0])
+    key = jax.random.PRNGKey(3)
+
+    results = {}
+    for dtype, p, m in (
+        (jnp.float32, params32, mets32),
+        (jnp.float64, params32.astype(np.float64),
+         mets32.astype(np.float64)),
+    ):
+        gen = ShardedGeneration(
+            ParameterSet.from_specs(cfg.parameters),
+            ParameterTransform(cfg.parameters),
+            make_dice_simulator(max_dice=50),  # unused: precomputed mets
+            obs, mesh=particle_mesh(), dtype=dtype,
+        )
+        results[str(dtype)] = gen.step_precomputed(
+            key, jnp.asarray(p, dtype), jnp.asarray(m, dtype), keep, 0,
+            None,
+        )
+    r32, r64 = results["<class 'jax.numpy.float32'>"], results[
+        "<class 'jax.numpy.float64'>"
+    ]
+    assert np.all(np.isfinite(np.asarray(r32.weights)))
+    assert set(np.asarray(r32.survivor_idx).tolist()) == set(
+        np.asarray(r64.survivor_idx).tolist()
+    )
+    assert int(r32.ncomp_used) == int(r64.ncomp_used)
