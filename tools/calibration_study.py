@@ -70,6 +70,7 @@ def study_configs():
     from abcsmc_tpu.models.simulators import (
         make_gaussian_simulator,
         make_gk_simulator,
+        make_ma2_simulator,
         make_linear_gaussian_simulator,
         make_ricker_simulator,
         make_sir_simulator,
@@ -134,6 +135,18 @@ def study_configs():
                   unif("phi", 4.0, 15.0)],
             nmet=6,
             overrides={"noise": "INDEPENDENT", "box_cox": True},
+        ),
+        # MA(2) moving-average process (Marin, Pudlo, Robert & Ryder 2012) -
+        # the standard ABC time-series toy, autocovariance summaries at
+        # lags 0..2. Priors cover the invertibility box (examples/ma2.json);
+        # MULTIVARIATE kernel + multinomial resampling is the one machinery
+        # cell no other row exercises (lg-mvn-sys/gk-mvn pair MVN with
+        # systematic).
+        "ma2": dict(
+            sim=lambda: make_ma2_simulator(),
+            pars=[unif("theta1", -2.0, 2.0), unif("theta2", -1.0, 1.0)],
+            nmet=3,
+            overrides={"noise": "MULTIVARIATE"},
         ),
         # g-and-k quantile distribution (Rayner & MacGillivray 2002;
         # Fearnhead & Prangle 2012), 4 pars x 8 octile summaries - gives the
@@ -260,6 +273,7 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
         "ricker": "INDEPENDENT + multinomial + vdv",
         "ricker-bc": "INDEPENDENT + multinomial + vdv + Box-Cox",
         "gk-mvn": "MULTIVARIATE + systematic + vdv",
+        "ma2": "MULTIVARIATE + multinomial + vdv",
     }
     family = {
         "lg": "linear-Gaussian 6x13", "lg-mvn-sys": "linear-Gaussian 6x13",
@@ -267,6 +281,7 @@ def main(reps: int = 100, n: int = 1024, configs=None, tpu=False) -> None:
         "ricker": "Ricker chaotic map 3x6 (Wood 2010)",
         "ricker-bc": "Ricker chaotic map 3x6 (Wood 2010)",
         "gk-mvn": "g-and-k quantile 4x8",
+        "ma2": "MA(2) moving average 2x3 (Marin et al. 2012)",
     }
     for name in names:
         u, c50, c90, err = run_config(name, all_specs[name], reps, n, rng)
