@@ -87,6 +87,44 @@ def _detect_hbm_bytes(mesh) -> int | None:
     return None
 
 
+def _dual_moment_stats(s1c, s2c, s1r, s2r, c, n: int):
+    """Mean/sd from DUAL one-pass moment accumulators: shifted
+    (``sum(x-c)``, ``sum((x-c)^2)``) and raw (``sum(x)``, ``sum(x*x)``),
+    choosing PER COLUMN the formula that lost fewer bits.
+
+    Either one-pass variance formula cancels catastrophically at f32 when
+    the subtracted ``n*mu^2`` term dwarfs the true variance: the raw form
+    fails at ``|mean| >> sd`` (epi-count metrics at 1e5 scale), the
+    shifted form fails in the mirrored regime ``|mean - c| >> sd`` (a
+    misfit model simulating far from the observed center). Both are exact
+    in infinite precision; the one whose ``n*mu^2 / sum-of-squares`` ratio
+    is smaller retained more mantissa, so the selection keeps whichever
+    frame the data actually sits near - covering both regimes with one
+    data pass, one fused psum round, and no extra collective. (Only data
+    concentrated far from BOTH centers - e.g. mean 1e9 with obs 0 - still
+    cancels; that needs a true second pass no one-pass scheme can avoid.)
+
+    Returns ``(mean, sd_unguarded, obs_delta)`` where ``obs_delta`` is
+    ``c - mean`` computed WITHOUT re-rounding the large ``c + dmean`` sum
+    (exact for shifted columns: it is ``-dmean``)."""
+    dmean = s1c / n
+    mean_r = s1r / n
+    num_c = n * dmean * dmean
+    num_r = n * mean_r * mean_r
+    tiny = jnp.asarray(jnp.finfo(s2c.dtype).tiny, s2c.dtype)
+    use_c = (
+        num_c / jnp.maximum(s2c, tiny) <= num_r / jnp.maximum(s2r, tiny)
+    )
+    var = jnp.where(
+        use_c,
+        jnp.maximum(s2c - num_c, 0.0),
+        jnp.maximum(s2r - num_r, 0.0),
+    ) / max(n - 1, 1)
+    mean = jnp.where(use_c, c + dmean, mean_r)
+    obs_delta = jnp.where(use_c, -dmean, c - mean_r)
+    return mean, jnp.sqrt(var), obs_delta
+
+
 def _sorted_searchsorted(cdf, q_sorted, n: int):
     """``searchsorted(cdf, q)`` (side='left') for an ASCENDING query vector,
     without sorting the queries: the K-1 bucket boundaries are found by
@@ -808,20 +846,18 @@ class ShardedGeneration:
                 rank_mets_l = mets_l
                 obs_eff = obs
 
-            # shifted one-pass moments: accumulate sum(x-c) and sum((x-c)^2)
-            # around a replicated pre-center c instead of raw moments. The
-            # raw formula s2 - n*mean^2 cancels catastrophically at f32 once
-            # |mean| >> sd (epi-count metrics at 1e5 scale lose every sd
-            # digit: s2 and n*mean^2 agree to f32 ulp), silently zeroing or
-            # mis-scaling the z-scores that drive ranking, the PLS Grams,
-            # and obs_z. With c near the data (the observed vector for
-            # metrics; prior means / previous-survivor means for parameters)
-            # the cancellation ratio drops from (mean/sd)^2 to O(1) - the
-            # shifted formula is exact in infinite precision for ANY c and
-            # f32-accurate whenever |mean - c| = O(sd)..O(100 sd). The host
-            # rule (stats.colwise_stdev) is two-pass; device-vs-host
-            # agreement at large means is pinned by
-            # tests/test_sharded.py::test_large_mean_metric_moments_f32.
+            # z-scoring moments accumulate in TWO frames at once - shifted
+            # around a replicated pre-center c (observed vector for metrics;
+            # prior / previous-survivor means for parameters) AND raw - with
+            # the per-column frame whose n*mu^2 term lost fewer f32 bits
+            # selected post-psum (_dual_moment_stats). A single one-pass
+            # formula cancels catastrophically in one regime or the other:
+            # raw fails at |mean| >> sd (epi-count metrics at 1e5 scale
+            # zero the sd), shifted fails at |mean - c| >> sd (a misfit
+            # model simulating far from obs). The host rule
+            # (stats.colwise_stdev) is two-pass; device-vs-host agreement
+            # in BOTH hostile regimes is pinned by tests/test_sharded.py::
+            # test_large_mean_metric_moments_f32 / test_far_obs_moments_f32.
             c_met = obs_eff
             if use_pls:
                 c_par = (
@@ -851,40 +887,50 @@ class ShardedGeneration:
                     g, fresh, mb, pb = block_rows(*xs)
                     vm = ((g < n_true) & fresh).astype(self.dtype)[:, None]
                     md_b = (mb - c_met[None, :]) * vm
-                    a1, a2 = carry[0] + jnp.sum(md_b, axis=0), (
-                        carry[1] + jnp.sum(md_b * md_b, axis=0)
+                    mr_b = mb * vm
+                    a = (
+                        carry[0] + jnp.sum(md_b, axis=0),
+                        carry[1] + jnp.sum(md_b * md_b, axis=0),
+                        carry[2] + jnp.sum(mr_b, axis=0),
+                        carry[3] + jnp.sum(mr_b * mb, axis=0),
                     )
                     if not use_pls:
                         # SIMPLE filter never consumes parameter moments -
                         # keep the dead reads structurally absent
-                        return (a1, a2), None
+                        return a, None
                     pd_b = (pb - c_par[None, :]) * vm
-                    return (
-                        a1, a2,
-                        carry[2] + jnp.sum(pd_b, axis=0),
-                        carry[3] + jnp.sum(pd_b * pd_b, axis=0),
+                    pr_b = pb * vm
+                    return a + (
+                        carry[4] + jnp.sum(pd_b, axis=0),
+                        carry[5] + jnp.sum(pd_b * pd_b, axis=0),
+                        carry[6] + jnp.sum(pr_b, axis=0),
+                        carry[7] + jnp.sum(pr_b * pb, axis=0),
                     ), None
 
                 zm = jnp.zeros((nmet,), self.dtype)
                 zp0 = jnp.zeros((npar,), self.dtype)
-                carry0 = (zm, zm, zp0, zp0) if use_pls else (zm, zm)
+                carry0 = (
+                    (zm,) * 4 + (zp0,) * 4 if use_pls else (zm,) * 4
+                )
                 acc, _ = jax.lax.scan(
                     pass_moments, carry0, (starts, fresh_lo)
                 )
-                s1, s2 = acc[0], acc[1]
+                s1, s2, s1r, s2r = (
+                    jax.lax.psum(a, AXIS) for a in acc[:4]
+                )
                 if use_pls:
-                    p1, p2 = acc[2], acc[3]
-                s1 = jax.lax.psum(s1, AXIS)
-                s2 = jax.lax.psum(s2, AXIS)
+                    p1, p2, p1r, p2r = acc[4:8]
             else:
-                # ---- global metric moments (psum, shifted by c_met) ----
+                # ---- global metric moments (one fused psum round, DUAL
+                # shifted/raw accumulators - see _dual_moment_stats) ----
                 md = (rank_mets_l - c_met[None, :]) * vmask
+                mr = rank_mets_l * vmask
                 s1 = jax.lax.psum(jnp.sum(md, axis=0), AXIS)
                 s2 = jax.lax.psum(jnp.sum(md * md, axis=0), AXIS)
-            dmean = s1 / n_true
-            mean = c_met + dmean
-            sd = jnp.sqrt(
-                jnp.maximum(s2 - n_true * dmean * dmean, 0.0) / (n_true - 1)
+                s1r = jax.lax.psum(jnp.sum(mr, axis=0), AXIS)
+                s2r = jax.lax.psum(jnp.sum(mr * rank_mets_l, axis=0), AXIS)
+            mean, sd, obs_delta = _dual_moment_stats(
+                s1, s2, s1r, s2r, c_met, n_true
             )
             # constant column -> unit scale (same conscious fix as
             # ranking._guard_sd; a tiny-eps floor would blow obs_z up to ~1e30
@@ -892,25 +938,25 @@ class ShardedGeneration:
             sd = jnp.where(sd <= eps, 1.0, sd)
             if not use_chunked:
                 zmet_l = (rank_mets_l - mean) / sd
-            # c_met == obs_eff, so obs_eff - mean == -dmean exactly; the
-            # composed form would re-round the large c_met + dmean sum and
-            # lose dmean's low bits at large |obs|
-            obs_z = -dmean / sd
+            # obs_delta is obs_eff - mean without re-rounding the large
+            # c + dmean sum (c_met == obs_eff)
+            obs_z = obs_delta / sd
 
             if use_pls:
-                # ---- global parameter moments ----
+                # ---- global parameter moments (same dual scheme) ----
                 if use_chunked:
-                    p1 = jax.lax.psum(p1, AXIS)
-                    p2 = jax.lax.psum(p2, AXIS)
+                    p1, p2, p1r, p2r = (
+                        jax.lax.psum(a, AXIS) for a in (p1, p2, p1r, p2r)
+                    )
                 else:
                     pd = (params_l - c_par[None, :]) * vmask
+                    pr = params_l * vmask
                     p1 = jax.lax.psum(jnp.sum(pd, axis=0), AXIS)
                     p2 = jax.lax.psum(jnp.sum(pd * pd, axis=0), AXIS)
-                pdmean = p1 / n_true
-                pmean = c_par + pdmean
-                psd = jnp.sqrt(
-                    jnp.maximum(p2 - n_true * pdmean * pdmean, 0.0)
-                    / (n_true - 1)
+                    p1r = jax.lax.psum(jnp.sum(pr, axis=0), AXIS)
+                    p2r = jax.lax.psum(jnp.sum(pr * params_l, axis=0), AXIS)
+                pmean, psd, _ = _dual_moment_stats(
+                    p1, p2, p1r, p2r, c_par, n_true
                 )
                 psd = jnp.where(psd <= eps, 1.0, psd)
 

@@ -53,10 +53,11 @@ def test_collective_structure_fixed_and_allreduce_constant():
     for r in (r1, r8, r8_bign):
         kinds = set(r["collectives"])
         assert kinds <= {"all-reduce", "all-gather"}, kinds
-        # the fused step's wire protocol: 3 fused all-reduces (moments +
-        # Grams + PRESS/vdv) and 5 all-gathers (top-K candidate pool + the
-        # [K] log-weight reassembly)
-        assert r["collectives"]["all-reduce"]["count"] == 3, r
+        # the fused step's wire protocol: 2 fused all-reduces
+        # (moments fuse with the Grams since the dual-frame accumulators
+        # landed; + PRESS/vdv) and 5 all-gathers (top-K candidate pool +
+        # the [K] log-weight reassembly)
+        assert r["collectives"]["all-reduce"]["count"] == 2, r
         assert r["collectives"]["all-gather"]["count"] == 5, r
 
     # all-reduce payload: identical bytes regardless of mesh size or N

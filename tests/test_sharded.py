@@ -1206,3 +1206,39 @@ def test_large_mean_pls_moments_f32():
         np.asarray(r64.survivor_idx).tolist()
     )
     assert int(r32.ncomp_used) == int(r64.ncomp_used)
+
+
+def test_far_obs_moments_f32():
+    """The mirrored f32 hazard: centering moments on the OBSERVED vector
+    alone would cancel catastrophically when a (misfit) model simulates
+    far from obs - e.g. metrics ~ N(0, 0.01) against obs = 1e4 collapses
+    the shifted one-pass sd to 0 exactly where the raw formula is exact.
+    The dual-frame accumulators (_dual_moment_stats) pick the raw frame
+    per column there, so device distances at f32 must still match the
+    host f64 two-pass rule."""
+    from abcsmc_tpu.ops import ranking
+
+    rng = np.random.default_rng(5)
+    n, keep = 64, 16
+    params = rng.uniform(1, 50, (n, 2))
+    mets32 = np.stack([
+        0.01 * rng.normal(size=n),           # sims ~N(0, 0.01), obs 1e4
+        100.0 * rng.normal(size=n),          # ordinary scale
+    ], axis=1).astype(np.float32)
+    obs = np.array([1e4, 0.0])
+
+    gen = make_gen(filter_type=FilterType.SIMPLE, dtype=jnp.float32)
+    gen.obs = obs
+    res = gen.step_precomputed(
+        jax.random.PRNGKey(0), jnp.asarray(params, jnp.float32),
+        jnp.asarray(mets32), keep, 0, None,
+    )
+    order, host_d = ranking.ranking_simple(
+        jnp.asarray(mets32, jnp.float64), jnp.asarray(obs, jnp.float64)
+    )
+    dev_d = np.asarray(res.distances)[:n]
+    host_dn = np.asarray(host_d)
+    np.testing.assert_allclose(dev_d, host_dn, rtol=1e-3)
+    assert set(np.asarray(res.survivor_idx).tolist()) == set(
+        np.asarray(order)[:keep].tolist()
+    )
