@@ -112,9 +112,14 @@ def _dual_moment_stats(s1c, s2c, s1r, s2r, c, n: int):
     num_c = n * dmean * dmean
     num_r = n * mean_r * mean_r
     tiny = jnp.asarray(jnp.finfo(s2c.dtype).tiny, s2c.dtype)
-    use_c = (
-        num_c / jnp.maximum(s2c, tiny) <= num_r / jnp.maximum(s2r, tiny)
-    )
+    # default to the SHIFTED frame unless the raw ratio is finite and
+    # strictly smaller: at data scales where sum(x*x) overflows f32 to inf
+    # (x ~ 2e15 at n ~ 1e8 rows), ratio_r is inf/inf = NaN and any <=
+    # comparison would come out False - silently selecting the overflowed
+    # raw frame exactly where the shifted one is accurate
+    ratio_c = num_c / jnp.maximum(s2c, tiny)
+    ratio_r = num_r / jnp.maximum(s2r, tiny)
+    use_c = ~(ratio_r < ratio_c)
     var = jnp.where(
         use_c,
         jnp.maximum(s2c - num_c, 0.0),

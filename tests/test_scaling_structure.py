@@ -53,11 +53,15 @@ def test_collective_structure_fixed_and_allreduce_constant():
     for r in (r1, r8, r8_bign):
         kinds = set(r["collectives"])
         assert kinds <= {"all-reduce", "all-gather"}, kinds
-        # the fused step's wire protocol: 2 fused all-reduces
-        # (moments fuse with the Grams since the dual-frame accumulators
-        # landed; + PRESS/vdv) and 5 all-gathers (top-K candidate pool +
-        # the [K] log-weight reassembly)
-        assert r["collectives"]["all-reduce"]["count"] == 2, r
+        # the fused step's wire protocol: 3 fused all-reduces (dual-frame
+        # moments + Grams + PRESS/vdv; the moments psum CANNOT fuse with
+        # the Grams, whose operands depend on its mean/sd result) and 5
+        # all-gathers (top-K candidate pool + the [K] log-weight
+        # reassembly). NB: the >= 6-element moments tuple exposed a parser
+        # bug that silently dropped it (test_collective_inventory_parser
+        # pins the fix) - a "2" here means the inventory went blind again,
+        # not that a collective fused away.
+        assert r["collectives"]["all-reduce"]["count"] == 3, r
         assert r["collectives"]["all-gather"]["count"] == 5, r
 
     # all-reduce payload: identical bytes regardless of mesh size or N
@@ -178,6 +182,15 @@ def test_collective_inventory_parser():
 """
     inv = collective_inventory(hlo)
     assert inv["all-reduce"] == {"count": 1, "bytes": 13 * 13 * 4 + 6 * 4}
+    # >= 6-element result tuples carry /*index=N*/ comments whose '=' broke
+    # the old tuple regex - the 7-element dual-frame moments psum vanished
+    # from count AND bytes, and the structure test mistook the blindness
+    # for a real 3 -> 2 fusion
+    big = ("ar7 = (f32[13]{0}, f32[13]{0}, f32[13]{0}, f32[6]{0}, "
+           "f32[6]{0}, /*index=5*/f32[6]{0}, f32[6]{0}) "
+           "all-reduce(a, b, c, d, e, f, g)")
+    inv7 = collective_inventory(big)
+    assert inv7["all-reduce"] == {"count": 1, "bytes": 3 * 13 * 4 + 4 * 6 * 4}
     # the async pair is counted once, at -done (the -start result tuple
     # carries both operand and result buffers and would double-count)
     assert inv["all-gather"]["count"] == 2

@@ -1242,3 +1242,37 @@ def test_far_obs_moments_f32():
     assert set(np.asarray(res.survivor_idx).tolist()) == set(
         np.asarray(order)[:keep].tolist()
     )
+
+
+def test_far_obs_moments_f32_chunked():
+    """The same dual-frame selection through the CHUNKED row passes
+    (row_block forced): the blocked pass_moments carries both frames'
+    accumulators with overlap de-counting; a mis-masked raw accumulator
+    would only surface at f32 big-N production shapes otherwise."""
+    from abcsmc_tpu.ops import ranking
+
+    rng = np.random.default_rng(5)
+    n, keep = 64, 16
+    params = rng.uniform(1, 50, (n, 2))
+    mets32 = np.stack([
+        0.01 * rng.normal(size=n),           # far-obs regime vs obs 1e4
+        1e5 + 30.0 * rng.normal(size=n),     # large-mean regime
+    ], axis=1).astype(np.float32)
+    obs = np.array([1e4, 1e5])
+
+    gen = make_gen(filter_type=FilterType.SIMPLE, dtype=jnp.float32)
+    gen.obs = obs
+    gen.row_block = 8   # force the blocked scan (64/8dev -> ln=8, bs=8)
+    res = gen.step_precomputed(
+        jax.random.PRNGKey(0), jnp.asarray(params, jnp.float32),
+        jnp.asarray(mets32), keep, 0, None,
+    )
+    order, host_d = ranking.ranking_simple(
+        jnp.asarray(mets32, jnp.float64), jnp.asarray(obs, jnp.float64)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.distances)[:n], np.asarray(host_d), rtol=1e-3
+    )
+    assert set(np.asarray(res.survivor_idx).tolist()) == set(
+        np.asarray(order)[:keep].tolist()
+    )

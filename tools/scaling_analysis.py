@@ -83,9 +83,13 @@ _SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
 # collectives as they appear post-SPMD-partitioning. Async pairs are counted
 # at the -done op (whose result shape is the actual payload buffer); the
 # -start op's result is a (operands..., results...) tuple that would
-# double-count bytes.
+# double-count bytes. The tuple group must admit '=' INSIDE the parens:
+# HLO prints /*index=N*/ element comments in tuples of >= 6 elements, and a
+# [^=]* group silently drops any such collective from both count and bytes
+# (a 7-element moments psum vanished this way; tuple shapes never nest
+# parens, so match to the closing paren instead).
 _COLL_RE = re.compile(
-    r"=\s*(\([^=]*?\)|\S+)\s+"
+    r"=\s*(\([^)]*?\)|\S+)\s+"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
     r"(-start|-done)?\("
 )
